@@ -1,0 +1,105 @@
+"""Benchmark harness — run on a real TPU chip by the driver.
+
+Measures the flagship hot path: full FateAvatar training steps (forward
+render 512x512 + loss + backward through the rasterizer + per-attribute
+Adam) on a 65k-splat synthetic avatar — the same configuration as the
+reference's train_mono_avatar hot loop (BASELINE.md config 3).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "it/s", "vs_baseline": N}
+
+``vs_baseline`` is value / 20.0: the BASELINE.md north-star is ">= 2x
+RTX3090 training it/s"; the reference publishes no number, so we use a
+20 it/s bar (2 x a 10 it/s RTX3090-class estimate for 512x512 65k-splat
+3DGS avatar training). vs_baseline >= 1.0 means the north-star target is
+met under that estimate.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fateavatar_tpu.flame import synthetic_flame
+    from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
+    from fateavatar_tpu.ops.camera import make_camera
+    from fateavatar_tpu.render.render import RenderConfig
+    from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
+    from fateavatar_tpu.train.optim import fateavatar_optimizers
+    from fateavatar_tpu.train.step import (
+        Frame, MaintenanceConfig, init_train_state, make_train_step,
+    )
+    from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+
+    backend = jax.default_backend()
+    res = 512
+    tex = 256          # 65,536 initial splats (config/fateavatar.yaml tex_size)
+    capacity = 70_000
+
+    flame = synthetic_flame(n_verts=512, n_shape=8, n_exp=6, seed=0)
+    mesh = sphere_obj_mesh(512)
+    cfg = FateAvatarConfig(
+        tex_size=tex, capacity=capacity, img_height=res, img_width=res,
+        normal_offset=0.02,
+    )
+    model, params, state = init_fateavatar(mesh, flame, cfg)
+
+    render_cfg = RenderConfig(
+        impl="pallas" if backend == "tpu" else "xla",
+        max_per_tile=1024, chunk=64,
+    )
+    loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0, dssim_weight=0.25))
+    opt = fateavatar_optimizers({})
+    step = make_train_step(
+        model, loss_fn, opt,
+        MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
+                          opacity_reset_interval=10**9),
+        render_cfg,
+    )
+    ts = init_train_state(params, state, opt)
+
+    rng = np.random.default_rng(0)
+    frame = Frame(
+        expression=jnp.zeros((6,), jnp.float32),
+        flame_pose=jnp.zeros((15,), jnp.float32),
+        camera=make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                           0.8, 0.8, res, res),
+        rgb=jnp.asarray(rng.random((res, res, 3)), jnp.float32),
+        bg_color=jnp.ones(3),
+    )
+
+    def run(n):
+        nonlocal ts
+        for _ in range(n):
+            ts, aux = step(ts, frame)
+        jax.block_until_ready(aux["loss"])
+        return aux
+
+    run(3)  # warmup / compile
+    n = 30
+    t0 = time.perf_counter()
+    aux = run(n)
+    dt = time.perf_counter() - t0
+    its = n / dt
+
+    result = {
+        "metric": (
+            f"FateAvatar train-step it/s (512x512, {tex*tex} splats, "
+            f"fwd+bwd rasterize + Adam, {backend}/{render_cfg.resolve_impl()})"
+        ),
+        "value": round(its, 3),
+        "unit": "it/s",
+        "vs_baseline": round(its / 20.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Tile binning: build fixed-size, depth-ordered per-tile Gaussian lists.
+
+TPU-native replacement for the CUDA pipeline
+InclusiveSum -> duplicateWithKeys -> RadixSort -> identifyTileRanges
+(diff-gaussian-rasterization cuda_rasterizer/rasterizer_impl.cu:70-336).
+
+The CUDA code materializes a data-dependent instance list (``num_rendered``)
+and per-tile [start,end) ranges. XLA needs static shapes, so instead:
+
+1. depth-argsort the N Gaussians once (replaces sorting every instance by a
+   packed [tile|depth] 64-bit key — a stable tile sort of depth-ordered
+   instances yields the identical ordering),
+2. expand each Gaussian into at most ``max_tiles_per_gaussian`` (tile)
+   candidate instances over its screen rect, invalid slots get a sentinel
+   tile id,
+3. stable-sort the N*R instances by tile id,
+4. compute each instance's rank inside its tile and scatter Gaussian ids
+   into a dense [num_tiles, K] list (K = ``max_per_tile``), truncating
+   overflow (reported via ``overflow`` for observability — the CUDA version
+   has no cap, so we log instead of silently diverging).
+
+Everything is static-shaped, jittable, and runs as a few large XLA sort /
+scatter ops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TILE = 16  # pixels per tile edge (config.h:15-17 BLOCK_X/BLOCK_Y)
+
+
+class TileLists(NamedTuple):
+    ids: jax.Array        # [num_tiles, K] int32 gaussian index, -1 = empty
+    counts: jax.Array     # [num_tiles] int32 (pre-truncation instance count)
+    overflow: jax.Array   # [] int32 total truncated instances
+    grid: tuple           # (tiles_y, tiles_x) static
+
+
+def tile_grid(width: int, height: int) -> tuple:
+    return ((height + TILE - 1) // TILE, (width + TILE - 1) // TILE)
+
+
+def gaussian_rect(mean2d: jax.Array, radius: jax.Array, grid: tuple):
+    """Per-Gaussian tile rect [min, max) in tile units (auxiliary.h:46-56)."""
+    ty, tx = grid
+    rmin_x = jnp.clip(((mean2d[..., 0] - radius) / TILE).astype(jnp.int32), 0, tx)
+    rmin_y = jnp.clip(((mean2d[..., 1] - radius) / TILE).astype(jnp.int32), 0, ty)
+    rmax_x = jnp.clip(
+        ((mean2d[..., 0] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, tx
+    )
+    rmax_y = jnp.clip(
+        ((mean2d[..., 1] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, ty
+    )
+    return rmin_x, rmin_y, rmax_x, rmax_y
+
+
+@partial(jax.jit, static_argnames=("grid", "max_per_tile", "max_tiles_per_gaussian"))
+def build_tile_lists(
+    mean2d: jax.Array,
+    depth: jax.Array,
+    radius: jax.Array,
+    grid: tuple,
+    max_per_tile: int = 1024,
+    max_tiles_per_gaussian: int = 36,
+) -> TileLists:
+    """Build [T, K] depth-ordered per-tile lists of Gaussian indices."""
+    n = mean2d.shape[0]
+    ty, tx = grid
+    num_tiles = ty * tx
+    R = max_tiles_per_gaussian
+
+    visible = radius > 0
+
+    # 1. depth order (dead gaussians pushed to the end)
+    order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
+    mean2d_s = mean2d[order]
+    radius_s = radius[order]
+    visible_s = visible[order]
+
+    rmin_x, rmin_y, rmax_x, rmax_y = gaussian_rect(mean2d_s, radius_s, grid)
+    rect_w = jnp.maximum(rmax_x - rmin_x, 1)
+    rect_h = rmax_y - rmin_y
+    n_tiles_touched = rect_w * rect_h
+
+    # 2. candidate instance expansion: walk the rect row-major with a
+    # DYNAMIC width, so any rect shape with area <= R is fully covered
+    r_lin = jnp.arange(R, dtype=jnp.int32)[None, :]        # [1, R]
+    cand_x = rmin_x[:, None] + r_lin % rect_w[:, None]     # [N, R]
+    cand_y = rmin_y[:, None] + r_lin // rect_w[:, None]
+    valid = visible_s[:, None] & (r_lin < n_tiles_touched[:, None])
+    tile_id = jnp.where(valid, cand_y * tx + cand_x, num_tiles)  # sentinel T
+
+    # truncation bookkeeping: instances beyond the per-gaussian R cap
+    dropped_tiles = jnp.sum(
+        jnp.where(visible_s, jnp.maximum(n_tiles_touched - R, 0), 0)
+    )
+
+    # 3. stable sort instances by tile id (preserves depth order within tile)
+    flat_tiles = tile_id.reshape(-1)
+    gauss_idx = jnp.broadcast_to(order[:, None], tile_id.shape).reshape(-1)
+    sort_tiles, sort_gauss = jax.lax.sort(
+        (flat_tiles, gauss_idx.astype(jnp.int32)), num_keys=1, is_stable=True
+    )
+
+    # 4. per-tile ranks and scatter into [T, K]
+    tile_start = jnp.searchsorted(sort_tiles, jnp.arange(num_tiles, dtype=jnp.int32))
+    pos = jnp.arange(sort_tiles.shape[0], dtype=jnp.int32)
+    rank = pos - tile_start[jnp.clip(sort_tiles, 0, num_tiles - 1)]
+    in_range = sort_tiles < num_tiles
+    keep = in_range & (rank < max_per_tile)
+
+    flat_out_idx = jnp.where(
+        keep, sort_tiles * max_per_tile + rank, num_tiles * max_per_tile
+    )
+    lists = jnp.full((num_tiles * max_per_tile + 1,), -1, jnp.int32)
+    lists = lists.at[flat_out_idx].set(jnp.where(keep, sort_gauss, -1))
+    ids = lists[:-1].reshape(num_tiles, max_per_tile)
+
+    counts = jnp.zeros((num_tiles + 1,), jnp.int32).at[
+        jnp.clip(sort_tiles, 0, num_tiles)
+    ].add(jnp.where(in_range, 1, 0))[:num_tiles]
+
+    overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + dropped_tiles
+
+    return TileLists(ids=ids, counts=counts, overflow=overflow, grid=grid)

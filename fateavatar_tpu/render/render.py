@@ -1,0 +1,133 @@
+"""The ``render()`` facade — same contract as the reference's
+volume_rendering/render_3dgs.py:7-81, TPU-native internals.
+
+Pipeline: per-Gaussian preprocess (pure JAX, XLA-fused) -> tile binning
+(XLA sort/scatter, stop-gradient) -> per-tile gather -> tile blend (Pallas
+kernel with custom VJP, or the XLA fallback). The per-instance gradients
+produced by the blend VJP are scatter-added back to per-Gaussian tensors by
+XLA's gather transpose — the deterministic TPU replacement for the CUDA
+backward's atomicAdd (backward.cu:439-556).
+
+The ``means2d_probe`` input reproduces the reference's ``screenspace_points``
+retain_grad trick (render_3dgs.py:22-27): pass a zeros [N, 2] array and take
+``jax.grad`` w.r.t. it to obtain the screen-space position gradients that
+drive densification (model/fateavatar.py:734-737).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from fateavatar_tpu.ops.camera import Camera
+from fateavatar_tpu.render import binning
+from fateavatar_tpu.render.blend_tiles import (
+    blend_tiles_pallas,
+    blend_tiles_xla,
+    tiles_to_image,
+)
+from fateavatar_tpu.render.preprocess import preprocess
+from fateavatar_tpu.render.splats import Gaussians
+
+
+@struct.dataclass
+class RenderConfig:
+    max_per_tile: int = struct.field(pytree_node=False, default=1024)
+    max_tiles_per_gaussian: int = struct.field(pytree_node=False, default=64)
+    chunk: int = struct.field(pytree_node=False, default=64)
+    impl: str = struct.field(pytree_node=False, default="auto")  # auto|pallas|xla
+
+    def resolve_impl(self) -> str:
+        if self.impl != "auto":
+            return self.impl
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def render(
+    camera: Camera,
+    gaussians: Gaussians,
+    bg_color: jax.Array,
+    scaling_modifier: float = 1.0,
+    override_color: Optional[jax.Array] = None,
+    config: RenderConfig = RenderConfig(),
+    means2d_probe: Optional[jax.Array] = None,
+):
+    """Rasterize ``gaussians`` into an image.
+
+    Returns a dict: ``render`` [H, W, 3], ``radii`` [N], ``visibility_filter``
+    [N] bool, ``t_final`` [H, W] transmittance, ``overflow`` scalar (instances
+    dropped by the static per-tile cap; 0 in healthy configs).
+    """
+    means3d = gaussians.xyz
+    scales = gaussians.get_scaling
+    rots = gaussians.get_rotation
+    opac = gaussians.get_opacity
+    sh = None if override_color is not None else gaussians.get_features
+
+    prep = preprocess(
+        camera,
+        means3d,
+        scales,
+        rots,
+        opac,
+        sh,
+        gaussians.sh_degree,
+        colors_precomp=override_color,
+        scale_modifier=scaling_modifier,
+        alive=gaussians.alive,
+    )
+
+    mean2d = prep.mean2d
+    if means2d_probe is not None:
+        mean2d = mean2d + means2d_probe
+
+    grid = binning.tile_grid(camera.width, camera.height)
+    lists = binning.build_tile_lists(
+        jax.lax.stop_gradient(mean2d),
+        jax.lax.stop_gradient(prep.depth),
+        prep.radius,
+        grid,
+        max_per_tile=config.max_per_tile,
+        max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+    )
+
+    # Per-tile gathers: differentiable — XLA transposes them to scatter-adds.
+    ids = jnp.maximum(lists.ids, 0)
+    valid = lists.ids >= 0
+    mean2d_t = jnp.take(mean2d, ids, axis=0)
+    conic_t = jnp.take(prep.conic, ids, axis=0)
+    color_t = jnp.take(prep.color, ids, axis=0)
+    opacity_t = jnp.take(prep.opacity, ids, axis=0)
+
+    impl = config.resolve_impl()
+    if impl == "pallas" or impl == "pallas_interpret":
+        img_tiles, t_final = blend_tiles_pallas(
+            mean2d_t, conic_t, color_t, opacity_t,
+            valid.astype(jnp.float32), bg_color,
+            grid, config.chunk, impl == "pallas_interpret",
+        )
+    else:
+        img_tiles, t_final = blend_tiles_xla(
+            mean2d_t, conic_t, color_t, opacity_t, valid, bg_color,
+            grid, chunk=config.chunk,
+        )
+
+    image = tiles_to_image(img_tiles, grid, camera.width, camera.height)
+    t_img = tiles_to_image(
+        jnp.repeat(t_final[:, None, :], 3, axis=1), grid,
+        camera.width, camera.height,
+    )[..., 0]
+
+    return {
+        "render": image,
+        "viewspace_points": mean2d,
+        "visibility_filter": prep.visible,
+        "radii": prep.radius,
+        "t_final": t_img,
+        "overflow": lists.overflow,
+        "tile_counts": lists.counts,
+    }

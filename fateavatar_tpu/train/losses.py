@@ -1,0 +1,303 @@
+"""Loss zoo (pure JAX), mirroring train/loss.py:69-677 of the reference.
+
+Images are [H, W, 3] (or [B, H, W, 3]) float32 in [0, 1]. Every term is a
+pure function; :class:`FateAvatarLoss` composes them from a weights config
+exactly like the reference's ``Params`` dataclass (train/loss.py:71-83).
+
+VGG16 perceptual loss is implemented natively in JAX; pretrained torchvision
+weights can be converted once via :func:`load_vgg16_from_torch` (the zero-
+egress environment has no downloaded weights, so configs default vgg off —
+tests exercise the graph with random weights).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fateavatar_tpu.ops.mesh import (
+    build_face_adjacency,
+    laplacian_smoothing,
+    mesh_normal_consistency,
+)
+
+
+# ---------------------------------------------------------------------------
+# image terms
+# ---------------------------------------------------------------------------
+
+def l1_loss(pred, gt):
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def l2_loss(pred, gt):
+    return jnp.mean((pred - gt) ** 2)
+
+
+def huber_loss(pred, gt, alpha: float = 0.1):
+    """Reference FlashAvatar huber (train/loss.py:217-221)."""
+    diff = jnp.abs(pred - gt)
+    quad = 0.5 * diff**2
+    lin = alpha * (diff - 0.5 * alpha)
+    return jnp.mean(jnp.where(diff < alpha, quad, lin))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5):
+    x = np.arange(size) - size // 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+    return jnp.asarray(np.outer(g, g), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def d_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11):
+    """1 - SSIM with an 11x11 sigma-1.5 Gaussian window
+    (tools/loss_utils/dssim.py:28-58). Accepts [H,W,3] or [B,H,W,3]."""
+    if img1.ndim == 3:
+        img1, img2 = img1[None], img2[None]
+    # NCHW for a grouped conv
+    x = img1.transpose(0, 3, 1, 2)
+    y = img2.transpose(0, 3, 1, 2)
+    c = x.shape[1]
+    w = _gaussian_window(window_size)
+    kernel = jnp.broadcast_to(w, (c, 1, window_size, window_size))
+
+    conv = lambda im: jax.lax.conv_general_dilated(
+        im, kernel, (1, 1), "SAME", feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    mu1, mu2 = conv(x), conv(y)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = conv(x * x) - mu1_sq
+    s2 = conv(y * y) - mu2_sq
+    s12 = conv(x * y) - mu12
+    C1, C2 = 0.01**2, 0.03**2
+    ssim = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
+    )
+    return 1.0 - jnp.mean(ssim)
+
+
+def ssim(img1, img2, window_size: int = 11):
+    return 1.0 - d_ssim(img1, img2, window_size)
+
+
+def psnr(pred, gt):
+    return -10.0 * jnp.log10(jnp.mean((pred - gt) ** 2))
+
+
+# ---------------------------------------------------------------------------
+# VGG16 perceptual loss (tools/loss_utils/vgg_feature.py:7-47 in JAX)
+# ---------------------------------------------------------------------------
+
+_VGG_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512)
+# block boundaries after convs: [:2], [2:4], [4:7], [7:10] with pools between
+_BLOCK_ENDS = (2, 4, 7, 10)
+_IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
+_IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+
+
+def vgg16_random_params(key, dtype=jnp.float32):
+    """Random-init VGG16 conv stack (for tests / structure checks)."""
+    params = []
+    cin = 3
+    for v in _VGG_CFG:
+        if v == "M":
+            continue
+        key, k1 = jax.random.split(key)
+        w = jax.random.normal(k1, (v, cin, 3, 3), dtype) * np.sqrt(2.0 / (cin * 9))
+        b = jnp.zeros((v,), dtype)
+        params.append((w, b))
+        cin = v
+    return params
+
+
+def load_vgg16_from_torch(path: str):
+    """Convert a torchvision vgg16 state_dict (.pth) to our params list."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    params = []
+    idx = 0
+    layer = 0
+    for v in _VGG_CFG:
+        if v == "M":
+            layer += 1
+            continue
+        w = jnp.asarray(sd[f"features.{layer}.weight"].numpy())
+        b = jnp.asarray(sd[f"features.{layer}.bias"].numpy())
+        params.append((w, b))
+        layer += 2  # conv + relu
+        idx += 1
+    return params
+
+
+def _bilinear_resize(img, size):
+    return jax.image.resize(img, img.shape[:-3] + (size, size, img.shape[-1]),
+                            method="bilinear")
+
+
+def vgg16_features(params, x):
+    """x: [B, H, W, 3] normalized. Returns the 4 block outputs."""
+    x = x.transpose(0, 3, 1, 2)  # NCHW
+    feats = []
+    i = 0
+    for end in _BLOCK_ENDS:
+        while i < end:
+            w, b = params[i]
+            x = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            ) + b[None, :, None, None]
+            x = jax.nn.relu(x)
+            i += 1
+        feats.append(x)
+        if end != _BLOCK_ENDS[-1]:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+            )
+    return feats
+
+
+def vgg_perceptual_loss(params, pred, gt, resize: bool = True):
+    """Sum of L1 feature distances over 4 VGG16 blocks after ImageNet
+    normalization and 224 resize (vgg_feature.py:30-47)."""
+    if pred.ndim == 3:
+        pred, gt = pred[None], gt[None]
+    pred = (pred - _IMAGENET_MEAN) / _IMAGENET_STD
+    gt = (gt - _IMAGENET_MEAN) / _IMAGENET_STD
+    if resize:
+        pred = _bilinear_resize(pred, 224)
+        gt = _bilinear_resize(gt, 224)
+    fx = vgg16_features(params, pred)
+    fy = vgg16_features(params, gt)
+    loss = 0.0
+    for a, b in zip(fx, fy):
+        loss = loss + jnp.mean(jnp.abs(a - b))
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# geometric / splat regularizers
+# ---------------------------------------------------------------------------
+
+def scale_anisotropy_loss(scale, alive, threshold: float):
+    """relu(max/min - threshold) over ALIVE splats (train/loss.py:145-151).
+    ``scale`` is the ACTIVATED scale [N, 3]."""
+    smax = jnp.max(scale, axis=-1)
+    smin = jnp.maximum(jnp.min(scale, axis=-1), 1e-12)
+    reg = jax.nn.relu(smax / smin - threshold)
+    w = alive.astype(scale.dtype)
+    return jnp.sum(reg * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def rotation_loss(raw_rot, alive):
+    """Penalize x/z axis-angle components (train/loss.py:160-164)."""
+    w = alive.astype(raw_rot.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    return (jnp.sum(raw_rot[..., 0] ** 2 * w) + jnp.sum(raw_rot[..., 2] ** 2 * w)) / denom
+
+
+def laplacian_delta_loss(verts, verts_orig, faces):
+    """|| L verts - L verts_orig ||^2 summed over xyz, meaned over verts —
+    penalizes the personalization deltas' high-frequency component
+    (train/loss.py:112-121; basis Laplacian detached)."""
+    lap = laplacian_smoothing(verts, faces)
+    lap_orig = jax.lax.stop_gradient(laplacian_smoothing(verts_orig, faces))
+    return jnp.mean(jnp.sum((lap - lap_orig) ** 2, axis=-1))
+
+
+def flame_delta_loss(verts, verts_orig):
+    """(verts - verts_orig)^2 mean (train/loss.py:192-197)."""
+    return jnp.mean((verts - verts_orig) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# composed losses
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FateAvatarLossConfig:
+    rgb_type: str = "l1"
+    rgb_weight: float = 1.0
+    vgg_weight: float = 0.0
+    dssim_weight: float = 0.0
+    scale_weight: float = 0.0
+    scale_threshold: float = 9.0
+    lpips_weight: float = 0.0
+    rot_weight: float = 0.0
+    laplacian_weight: float = 0.0
+    normal_weight: float = 0.0
+    flame_weight: float = 0.0
+
+
+class FateAvatarLoss:
+    """Composable loss (train/loss.py:69-199). Construct once (precomputes
+    the face adjacency for the normal term), then call as a pure function.
+    ``vgg_params``: JAX VGG16 weights or None (term disabled)."""
+
+    def __init__(self, cfg: FateAvatarLossConfig, faces=None, vgg_params=None):
+        self.cfg = cfg
+        self.vgg_params = vgg_params
+        self.face_adjacency = None
+        if cfg.normal_weight > 0 and faces is not None:
+            self.face_adjacency = build_face_adjacency(np.asarray(faces))
+        if cfg.vgg_weight > 0 and vgg_params is None:
+            raise ValueError(
+                "vgg_weight > 0 requires vgg_params "
+                "(losses.load_vgg16_from_torch or vgg16_random_params)"
+            )
+
+    def __call__(self, model_out: dict, ground_truth: dict):
+        cfg = self.cfg
+        pred = model_out["rgb_image"]
+        gt = ground_truth["rgb"]
+
+        rgb = l1_loss(pred, gt) if cfg.rgb_type == "l1" else l2_loss(pred, gt)
+        loss = rgb * cfg.rgb_weight
+        out = {"rgb_loss": rgb}
+
+        if cfg.vgg_weight > 0:
+            v = vgg_perceptual_loss(self.vgg_params, pred, gt)
+            out["vgg_loss"] = v
+            loss = loss + v * cfg.vgg_weight
+        if cfg.dssim_weight > 0:
+            v = d_ssim(pred, gt)
+            out["dssim_loss"] = v
+            loss = loss + v * cfg.dssim_weight
+        if cfg.scale_weight > 0:
+            v = scale_anisotropy_loss(
+                model_out["scale"], model_out["alive"], cfg.scale_threshold
+            )
+            out["scale_loss"] = v
+            loss = loss + v * cfg.scale_weight
+        if cfg.rot_weight > 0:
+            v = rotation_loss(model_out["raw_rot"], model_out["alive"])
+            out["rot_loss"] = v
+            loss = loss + v * cfg.rot_weight
+        if cfg.laplacian_weight > 0:
+            v = laplacian_delta_loss(
+                model_out["verts"], model_out["verts_orig"], model_out["faces"]
+            )
+            out["laplacian_loss"] = v
+            loss = loss + v * cfg.laplacian_weight
+        if cfg.normal_weight > 0:
+            v = mesh_normal_consistency(
+                model_out["verts"][0], model_out["faces"], self.face_adjacency
+            )
+            out["normal_loss"] = v
+            loss = loss + v * cfg.normal_weight
+        if cfg.flame_weight > 0:
+            v = flame_delta_loss(model_out["verts"], model_out["verts_orig"])
+            out["flame_loss"] = v
+            loss = loss + v * cfg.flame_weight
+
+        out["loss"] = loss
+        return out

@@ -1,0 +1,402 @@
+"""Trainer: host-side orchestration of the jitted training step.
+
+TPU-native re-design of train/base.py:14-245 + train/trainer.py:61-632.
+The device-side work (forward/loss/backward/optim/maintenance) is ONE jit
+call per frame (train/step.py); the trainer handles epochs, data prefetch,
+meters, media snapshots, checkpoints, evaluation and (for IMAvatar) the
+per-frame tracking refinement. Host <-> device traffic per step is one
+frame upload and one scalar fetch of the loss dict (the reference also
+syncs on ``loss.item()`` per step, train/trainer.py:191-200).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fateavatar_tpu.models.fateavatar import (
+    FateAvatarModel,
+    fateavatar_forward,
+    fateavatar_visualization,
+)
+from fateavatar_tpu.ops.camera import make_camera
+from fateavatar_tpu.render.render import RenderConfig
+from fateavatar_tpu.train import metrics as metrics_mod
+from fateavatar_tpu.train.checkpoints import CheckpointManager
+from fateavatar_tpu.train.datasets import FaceDataset, Prefetcher
+from fateavatar_tpu.train.optim import MultiAdam
+from fateavatar_tpu.train.step import (
+    Frame,
+    MaintenanceConfig,
+    TrainState,
+    init_train_state,
+    make_train_step,
+)
+from fateavatar_tpu.train.tracking import (
+    RowAdam,
+    TrackingTables,
+    make_tracking_step,
+    tables_from_dataset,
+)
+from fateavatar_tpu.utils.logging import Logger, save_image, save_image_grid, write_video
+
+
+class Trainer:
+    def __init__(
+        self,
+        name: str,
+        model: FateAvatarModel,
+        params,
+        state,
+        loss_fn,
+        optimizer: MultiAdam,
+        train_dataset: FaceDataset,
+        test_dataset: Optional[FaceDataset] = None,
+        workspace: Optional[str] = None,
+        maint_cfg: MaintenanceConfig = MaintenanceConfig(),
+        render_cfg: RenderConfig = RenderConfig(),
+        tracking_lr: float = 5e-4,
+        bg_color=(1.0, 1.0, 1.0),
+        snapshot_interval: int = 1000,
+        max_keep_ckpt: int = 2,
+        seed: int = 0,
+    ):
+        self.name = name
+        self.model = model
+        self.loss_fn = loss_fn
+        self.optimizer = optimizer
+        self.train_dataset = train_dataset
+        self.test_dataset = test_dataset
+        self.workspace = workspace
+        self.render_cfg = render_cfg
+        self.maint_cfg = maint_cfg
+        self.bg_color = jnp.asarray(bg_color, jnp.float32)
+        self.snapshot_interval = snapshot_interval
+
+        self.logger = Logger(name, workspace)
+        self.epoch = 0
+        self.global_step = 0
+
+        self.train_step = make_train_step(
+            model, loss_fn, optimizer, maint_cfg, render_cfg
+        )
+        self.ts: TrainState = init_train_state(params, state, optimizer, seed)
+
+        # media dirs (train/trainer.py:107-134)
+        self.media_dirs = {}
+        if workspace is not None:
+            for sub in ("snapshots", "eval_images", "eval_videos", "metrics"):
+                d = os.path.join(workspace, "media", sub)
+                os.makedirs(d, exist_ok=True)
+                self.media_dirs[sub] = d
+            self.ckpt = CheckpointManager(
+                os.path.join(workspace, "checkpoints"), max_keep=max_keep_ckpt
+            )
+        else:
+            self.ckpt = None
+
+        # tracking refinement (train/base.py:113-151)
+        self.tracking_enabled = getattr(train_dataset, "optimize_tracking", False)
+        if self.tracking_enabled:
+            self.track_opt = RowAdam(lr=tracking_lr)
+            self.train_tables = tables_from_dataset(train_dataset)
+            self.train_track_state = self.track_opt.init(self.train_tables)
+            if test_dataset is not None:
+                self.test_tables = tables_from_dataset(test_dataset)
+                self.test_track_state = self.track_opt.init(self.test_tables)
+            self._tracking_step = self._build_tracking_step()
+        else:
+            self.train_tables = None
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _make_frame(self, sample: dict, tables: Optional[TrackingTables]) -> Frame:
+        h = self.model.cfg.img_height
+        w = self.model.cfg.img_width
+        idx = sample["idx"]
+        expr = jnp.asarray(sample["expression"], jnp.float32)
+        pose = jnp.asarray(sample["flame_pose"], jnp.float32)
+        cam_pose = np.asarray(sample["cam_pose"], np.float32)
+        T = cam_pose[:3, 3]
+        if tables is not None:
+            expr = tables.expression[idx]
+            pose = tables.flame_pose[idx]
+            T = tables.cam_t[idx]
+        camera = make_camera(
+            cam_pose[:3, :3].T, T,
+            sample["fovx"], sample["fovy"], w, h,
+        )
+        return Frame(
+            expression=expr,
+            flame_pose=pose,
+            camera=camera,
+            rgb=jnp.asarray(sample["ground_truth"]["rgb"], jnp.float32),
+            bg_color=self.bg_color,
+        )
+
+    def _build_tracking_step(self):
+        model, loss_fn = self.model, self.loss_fn
+        render_cfg, state = self.render_cfg, None
+
+        def loss_of_frame(expr, pose, cam_t, const):
+            R, fovx, fovy, rgb, mstate, params = const
+            camera = make_camera(
+                R, cam_t, fovx, fovy,
+                model.cfg.img_width, model.cfg.img_height,
+            )
+            out = fateavatar_forward(
+                model, params, mstate, expr, pose, camera,
+                bg_color=self.bg_color, render_cfg=render_cfg,
+            )
+            return loss_fn(out, {"rgb": rgb})["loss"]
+
+        return make_tracking_step(loss_of_frame, self.track_opt)
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def train(self, max_epochs: int):
+        for _ in range(self.epoch + 1, max_epochs + 1):
+            self.epoch += 1
+            self.train_epoch()
+            self.save_checkpoint()
+
+    def train_epoch(self):
+        ds = self.train_dataset
+        order = np.arange(len(ds))
+        meters = {"loss": metrics_mod.LossMeter(), "psnr": metrics_mod.Meter("PSNR")}
+        t0 = time.perf_counter()
+        tables = self.train_tables if self.tracking_enabled else None
+
+        for sample in Prefetcher(ds, order):
+            frame = self._make_frame(sample, tables)
+            self.ts, aux = self.train_step(self.ts, frame)
+            self.global_step += 1
+
+            # tracking refinement on the SAME frame (train/trainer.py:173-176):
+            # gradient step on the per-frame embedding rows
+            if self.tracking_enabled:
+                cam_pose = np.asarray(sample["cam_pose"], np.float32)
+                const = (
+                    jnp.asarray(cam_pose[:3, :3].T),
+                    jnp.asarray(sample["fovx"], jnp.float32),
+                    jnp.asarray(sample["fovy"], jnp.float32),
+                    frame.rgb, self.ts.state, self.ts.params,
+                )
+                self.train_tables, self.train_track_state = self._tracking_step(
+                    self.train_tables, self.train_track_state,
+                    jnp.asarray(sample["idx"], jnp.int32), const,
+                )
+
+            meters["loss"].update(float(aux["loss"]))
+            meters["psnr"].update(float(aux["psnr"]))
+            if self.global_step % 100 == 0 or self.global_step == 1:
+                overflow = int(aux["overflow"])
+                if overflow > 0:
+                    self.logger.log(
+                        f"[WARN] step {self.global_step}: {overflow} tile "
+                        "instances dropped (raise max_per_tile)"
+                    )
+            if (
+                self.workspace is not None
+                and self.global_step % self.snapshot_interval == 0
+            ):
+                self.save_snapshot(sample)
+
+        dt = time.perf_counter() - t0
+        n = len(ds)
+        self.logger.log(
+            f"[epoch {self.epoch}] {n} frames in {dt:.1f}s "
+            f"({n / max(dt, 1e-9):.2f} it/s) | loss={meters['loss'].measure():.5f} "
+            f"PSNR={meters['psnr'].measure():.2f} "
+            f"alive={int(jnp.sum(self.ts.state.alive))}"
+        )
+
+    # ------------------------------------------------------------------
+    # evaluation (train/trainer.py:271-381)
+    # ------------------------------------------------------------------
+
+    def evaluate(self, mode: str = "test", optim_epoch: Optional[int] = None,
+                 save_media: bool = True):
+        ds = self.test_dataset if mode == "test" else self.train_dataset
+        if ds is None:
+            raise ValueError("no test dataset")
+
+        if mode == "test" and self.tracking_enabled:
+            self.optimize_tracking(optim_epoch or 50)
+
+        meters = metrics_mod.default_meters()
+        per_frame = []
+        frames_out = []
+        tables = None
+        if self.tracking_enabled:
+            tables = self.test_tables if mode == "test" else self.train_tables
+
+        fwd = jax.jit(
+            lambda p, s, e, fp, cam: fateavatar_forward(
+                self.model, p, s, e, fp, cam,
+                bg_color=self.bg_color, render_cfg=self.render_cfg,
+            )["rgb_image"]
+        )
+
+        # drop meters whose backing network weights are unavailable (LPIPS
+        # needs calibrated weights the zero-egress env cannot fetch)
+        meters = {
+            k: m for k, m in meters.items()
+            if getattr(m, "available", True)
+        }
+
+        for i in range(len(ds)):
+            sample = ds.sample(i)
+            frame = self._make_frame(sample, tables)
+            img = fwd(self.ts.params, self.ts.state, frame.expression,
+                      frame.flame_pose, frame.camera)
+            gt = frame.rgb
+            row = {"frame": sample["img_name"]}
+            for key, meter in meters.items():
+                meter.update(img, gt)
+                row[key] = meter.V_cur
+            per_frame.append(row)
+            if save_media:
+                frames_out.append(
+                    np.concatenate([np.asarray(img), np.asarray(gt)], axis=1)
+                )
+
+        summary = {k: m.measure() for k, m in meters.items()}
+        self.logger.log(f"[eval {mode}] " + " ".join(
+            f"{k}={v:.4f}" for k, v in summary.items()
+        ))
+
+        if self.workspace is not None:
+            mpath = os.path.join(
+                self.media_dirs["metrics"], f"{mode}_epoch{self.epoch}.json"
+            )
+            with open(mpath, "w") as f:
+                json.dump({"summary": summary, "per_frame": per_frame}, f, indent=2)
+            if save_media and frames_out:
+                write_video(
+                    os.path.join(
+                        self.media_dirs["eval_videos"],
+                        f"{mode}_epoch{self.epoch}.mp4",
+                    ),
+                    frames_out, fps=25,
+                )
+                save_image(
+                    os.path.join(
+                        self.media_dirs["eval_images"],
+                        f"{mode}_epoch{self.epoch}_frame0.png",
+                    ),
+                    frames_out[0],
+                )
+        return summary
+
+    def optimize_tracking(self, optim_epoch: int = 50):
+        """Fit test-set tracking rows (train/base.py:198-235): 50 gradient
+        steps per frame on (expression, pose, camera translation)."""
+        ds = self.test_dataset
+        self.logger.log("==> optimizing test tracking...")
+        for i in range(len(ds)):
+            sample = ds.sample(i)
+            cam_pose = np.asarray(sample["cam_pose"], np.float32)
+            const = (
+                jnp.asarray(cam_pose[:3, :3].T),
+                jnp.asarray(sample["fovx"], jnp.float32),
+                jnp.asarray(sample["fovy"], jnp.float32),
+                jnp.asarray(sample["ground_truth"]["rgb"], jnp.float32),
+                self.ts.state, self.ts.params,
+            )
+            idx = jnp.asarray(i, jnp.int32)
+            for _ in range(optim_epoch):
+                self.test_tables, self.test_track_state = self._tracking_step(
+                    self.test_tables, self.test_track_state, idx, const
+                )
+
+    # ------------------------------------------------------------------
+    # media / checkpoints / perf
+    # ------------------------------------------------------------------
+
+    def save_snapshot(self, sample: dict):
+        """Multi-panel snapshot (train/trainer.py:474-538): pred / gt /
+        L1-heat / canonical / grad-heat / sampled-points."""
+        tables = self.train_tables if self.tracking_enabled else None
+        frame = self._make_frame(sample, tables)
+        vis = fateavatar_visualization(
+            self.model, self.ts.params, self.ts.state,
+            frame.expression, frame.flame_pose, frame.camera,
+            render_cfg=self.render_cfg,
+        )
+        pred = np.asarray(vis["rgb_image"])
+        gt = np.asarray(frame.rgb)
+        l1 = np.abs(pred - gt).mean(-1, keepdims=True)
+        heat = np.concatenate([l1, np.zeros_like(l1), 1.0 - l1], axis=-1)
+        save_image_grid(
+            os.path.join(
+                self.media_dirs["snapshots"], f"step{self.global_step:08d}.png"
+            ),
+            [pred, gt, heat, np.asarray(vis["cano_image"]),
+             np.asarray(vis["grad_image"]), np.asarray(vis["point_image"])],
+            cols=3,
+        )
+
+    def checkpoint_tree(self):
+        tree = {
+            "ts": self.ts,
+            "epoch": self.epoch,
+            "global_step": self.global_step,
+        }
+        if self.tracking_enabled:
+            tree["train_tables"] = self.train_tables
+            tree["train_track_state"] = self.train_track_state
+            if self.test_dataset is not None:
+                tree["test_tables"] = self.test_tables
+                tree["test_track_state"] = self.test_track_state
+        return tree
+
+    def save_checkpoint(self):
+        if self.ckpt is None:
+            return
+        self.ckpt.save(self.global_step, self.checkpoint_tree())
+        self.logger.log(f"[ckpt] saved step {self.global_step}")
+
+    def load_checkpoint(self, step: Optional[int] = None):
+        restored = self.ckpt.restore(self.checkpoint_tree(), step)
+        self.ts = restored["ts"]
+        self.epoch = int(restored["epoch"])
+        self.global_step = int(restored["global_step"])
+        if self.tracking_enabled:
+            self.train_tables = restored["train_tables"]
+            self.train_track_state = restored["train_track_state"]
+            if self.test_dataset is not None:
+                self.test_tables = restored["test_tables"]
+                self.test_track_state = restored["test_track_state"]
+        self.logger.log(f"[ckpt] restored step {self.global_step}")
+
+    def fps_performance_test(self, n: int = 100):
+        """Forward-only render throughput (train/trainer.py:541-568)."""
+        sample = self.train_dataset.sample(0)
+        frame = self._make_frame(sample, None)
+        fwd = jax.jit(
+            lambda e, p: fateavatar_forward(
+                self.model, self.ts.params, self.ts.state, e, p, frame.camera,
+                bg_color=self.bg_color, render_cfg=self.render_cfg,
+            )["rgb_image"]
+        )
+        img = fwd(frame.expression, frame.flame_pose)
+        img.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(n):
+            img = fwd(frame.expression, frame.flame_pose)
+        img.block_until_ready()
+        dt = time.perf_counter() - t0
+        fps = n / dt
+        self.logger.log(f"[fps] {fps:.1f} frames/s ({1000 * dt / n:.2f} ms/frame)")
+        return fps

@@ -1,0 +1,141 @@
+"""FLAME / LBS tests (SURVEY.md §4 layer (a)): internal consistency,
+canonical identities, delta-blendshape gradients, per-point inverse/forward
+roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fateavatar_tpu.flame import (
+    FlameModel, flame_forward, synthetic_flame,
+)
+from fateavatar_tpu.flame import flame as flame_mod
+
+
+def model():
+    return synthetic_flame(n_verts=96, n_shape=6, n_exp=4, seed=0)
+
+
+class TestFlameForward:
+    def test_rest_pose_identity(self):
+        m = model()
+        verts, pose_feature, A = flame_forward(
+            m, jnp.zeros((1, m.n_exp)), jnp.zeros((1, 15))
+        )
+        np.testing.assert_allclose(verts[0], m.v_template, atol=1e-5)
+        np.testing.assert_allclose(pose_feature, 0.0, atol=1e-6)
+        # rest-pose transforms are identity
+        np.testing.assert_allclose(
+            A[0], jnp.broadcast_to(jnp.eye(4), (5, 4, 4)), atol=1e-5
+        )
+
+    def test_global_rotation_is_rigid(self):
+        m = model()
+        pose = jnp.zeros((1, 15)).at[0, :3].set(jnp.array([0.0, 0.7, 0.0]))
+        verts, _, _ = flame_forward(m, jnp.zeros((1, m.n_exp)), pose)
+        v0, _, _ = flame_forward(m, jnp.zeros((1, m.n_exp)), jnp.zeros((1, 15)))
+        # rigid: pairwise distances preserved
+        d_posed = jnp.linalg.norm(verts[0, :10, None] - verts[0, None, :10], axis=-1)
+        d_rest = jnp.linalg.norm(v0[0, :10, None] - v0[0, None, :10], axis=-1)
+        np.testing.assert_allclose(d_posed, d_rest, atol=1e-4)
+
+    def test_expression_changes_verts(self):
+        m = model()
+        expr = jnp.zeros((1, m.n_exp)).at[0, 0].set(2.0)
+        verts, _, _ = flame_forward(m, expr, jnp.zeros((1, 15)))
+        v0, _, _ = flame_forward(m, jnp.zeros((1, m.n_exp)), jnp.zeros((1, 15)))
+        assert float(jnp.abs(verts - v0).max()) > 1e-4
+
+    def test_delta_vertex_additive_at_rest(self):
+        m = model()
+        delta = jnp.ones_like(m.v_template) * 0.01
+        verts, _, _ = flame_forward(
+            m, jnp.zeros((1, m.n_exp)), jnp.zeros((1, 15)), delta_vertex=delta
+        )
+        np.testing.assert_allclose(verts[0], m.v_template + 0.01, atol=1e-5)
+
+    def test_batch_consistency(self):
+        m = model()
+        rng = np.random.default_rng(0)
+        expr = jnp.asarray(rng.normal(size=(3, m.n_exp)), jnp.float32)
+        pose = jnp.asarray(rng.normal(size=(3, 15)) * 0.2, jnp.float32)
+        batched, _, _ = flame_forward(m, expr, pose)
+        for i in range(3):
+            single, _, _ = flame_forward(m, expr[i : i + 1], pose[i : i + 1])
+            np.testing.assert_allclose(batched[i], single[0], atol=1e-5)
+
+    def test_grad_flows_to_deltas(self):
+        m = model()
+
+        def loss(dv, dsd, dpd):
+            v, _, _ = flame_forward(
+                m, jnp.ones((1, m.n_exp)) * 0.3,
+                jnp.full((1, 15), 0.1),
+                delta_shapedirs=dsd, delta_posedirs=dpd, delta_vertex=dv,
+            )
+            return jnp.sum(v**2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.zeros_like(m.v_template),
+            jnp.zeros_like(m.shapedirs),
+            jnp.zeros_like(m.posedirs),
+        )
+        assert all(float(jnp.abs(x).max()) > 0 for x in g)
+
+    def test_jit_compiles(self):
+        m = model()
+        f = jax.jit(lambda e, p: flame_forward(m, e, p)[0])
+        out = f(jnp.zeros((1, m.n_exp)), jnp.zeros((1, 15)))
+        assert out.shape == (1, m.num_verts, 3)
+
+
+class TestPointMorphing:
+    def test_forward_inverse_roundtrip(self):
+        m = model()
+        rng = np.random.default_rng(1)
+        n = 20
+        expr = jnp.asarray(rng.normal(size=(1, m.n_exp)) * 0.5, jnp.float32)
+        pose = jnp.asarray(rng.normal(size=(1, 15)) * 0.3, jnp.float32)
+        verts, pose_feature, A = flame_forward(m, expr, pose)
+
+        betas = jnp.concatenate(
+            [jnp.zeros((1, m.n_shape)), expr], axis=1
+        )
+        pnts_c = jnp.asarray(rng.normal(size=(n, 3)) * 0.05, jnp.float32)
+        # per-point buffers gathered from nearest verts (use first n verts)
+        shapedirs = m.shapedirs[:n]
+        posedirs = m.posedirs.reshape(36, -1, 3).transpose(1, 0, 2)[:n]
+        w = m.lbs_weights[:n]
+
+        fwd = flame_mod.forward_pts(
+            pnts_c, jnp.broadcast_to(betas, (n, betas.shape[1])),
+            jnp.broadcast_to(A, (n, 5, 4, 4)),
+            jnp.broadcast_to(pose_feature, (n, 36)),
+            shapedirs, posedirs, w,
+        )
+        back = flame_mod.inverse_pts(
+            fwd, jnp.broadcast_to(betas, (n, betas.shape[1])),
+            jnp.broadcast_to(A, (n, 5, 4, 4)),
+            jnp.broadcast_to(pose_feature, (n, 36)),
+            shapedirs, posedirs, w,
+        )
+        np.testing.assert_allclose(np.asarray(back), np.asarray(pnts_c), atol=1e-4)
+
+    def test_skinned_points_match_lbs_verts(self):
+        """Skinning the template vertices per-point must equal lbs()."""
+        m = model()
+        expr = jnp.ones((1, m.n_exp)) * 0.2
+        pose = jnp.full((1, 15), 0.15)
+        verts, pose_feature, A = flame_forward(m, expr, pose)
+        nv = m.num_verts
+
+        betas = jnp.concatenate([jnp.zeros((1, m.n_shape)), expr], axis=1)
+        posedirs_pts = m.posedirs.reshape(36, nv, 3).transpose(1, 0, 2)
+        out = flame_mod.forward_pts(
+            m.v_template,
+            jnp.broadcast_to(betas, (nv, betas.shape[1])),
+            jnp.broadcast_to(A, (nv, 5, 4, 4)),
+            jnp.broadcast_to(pose_feature, (nv, 36)),
+            m.shapedirs, posedirs_pts, m.lbs_weights,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(verts[0]), atol=1e-4)

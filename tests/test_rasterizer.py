@@ -1,0 +1,292 @@
+"""Rasterizer tests (SURVEY.md §4 layers (b)-(c)): oracle sanity, binning
+vs brute force, XLA tile blend vs oracle, Pallas kernel (interpret mode) vs
+XLA blend, and analytic-vs-numeric gradient checks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fateavatar_tpu.ops.camera import make_camera
+from fateavatar_tpu.render import binning
+from fateavatar_tpu.render.blend_reference import blend_reference
+from fateavatar_tpu.render.blend_tiles import (
+    blend_tiles_pallas, blend_tiles_xla, tiles_to_image,
+)
+from fateavatar_tpu.render.preprocess import preprocess
+from fateavatar_tpu.render.render import RenderConfig, render
+from fateavatar_tpu.render.splats import Gaussians, inverse_sigmoid, make_gaussians
+
+
+W = H = 64
+
+
+def make_scene(n=40, seed=0, sh_degree=0):
+    """Random gaussians in front of an identity camera at z in [0.5, 2]."""
+    rng = np.random.default_rng(seed)
+    xyz = np.concatenate(
+        [rng.uniform(-0.4, 0.4, (n, 2)), rng.uniform(0.5, 2.0, (n, 1))], axis=1
+    )
+    scaling = np.log(rng.uniform(0.01, 0.08, (n, 3)))
+    rotation = rng.normal(size=(n, 4))
+    opacity = inverse_sigmoid(jnp.asarray(rng.uniform(0.2, 0.95, (n, 1))))
+    k = (sh_degree + 1) ** 2
+    fdc = rng.uniform(-1, 1, (n, 1, 3))
+    frest = rng.uniform(-0.3, 0.3, (n, k - 1, 3))
+    g = make_gaussians(
+        xyz, scaling, rotation, np.asarray(opacity), fdc, frest,
+        sh_degree=sh_degree,
+    )
+    cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.9, W, H)
+    bg = jnp.asarray([0.2, 0.3, 0.4], jnp.float32)
+    return cam, g, bg
+
+
+def run_preprocess(cam, g):
+    return preprocess(
+        cam, g.xyz, g.get_scaling, g.get_rotation, g.get_opacity,
+        g.get_features, g.sh_degree, alive=g.alive,
+    )
+
+
+def gather_tiles(prep, lists):
+    ids = jnp.maximum(lists.ids, 0)
+    valid = lists.ids >= 0
+    return (
+        jnp.take(prep.mean2d, ids, axis=0),
+        jnp.take(prep.conic, ids, axis=0),
+        jnp.take(prep.color, ids, axis=0),
+        jnp.take(prep.opacity, ids, axis=0),
+        valid,
+    )
+
+
+class TestOracle:
+    def test_empty_scene_is_background(self):
+        cam, g, bg = make_scene(4)
+        g = g.replace(alive=jnp.zeros_like(g.alive))
+        prep = run_preprocess(cam, g)
+        img = blend_reference(prep, W, H, bg)
+        np.testing.assert_allclose(img, jnp.broadcast_to(bg, (H, W, 3)), atol=1e-6)
+
+    def test_single_gaussian_blob(self):
+        g = make_gaussians(
+            xyz=[[0.0, 0.0, 1.0]],
+            scaling=np.log([[0.05, 0.05, 0.05]]),
+            rotation=[[1.0, 0, 0, 0]],
+            opacity=[[inverse_sigmoid(jnp.float32(0.9))]],
+            features_dc=[[[1.0, -1.0, 0.0]]],
+        )
+        cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.9, W, H)
+        bg = jnp.zeros(3)
+        prep = run_preprocess(cam, g)
+        img = blend_reference(prep, W, H, bg)
+        # blob is centred, brightest at centre, red channel > green
+        c = np.asarray(img[H // 2 - 1 : H // 2 + 1, W // 2 - 1 : W // 2 + 1])
+        assert c[..., 0].max() > 0.3
+        assert img[0, 0, 0] < 0.01  # corner untouched
+        # centre brighter than halfway out
+        assert float(img[H // 2, W // 2, 0]) >= float(img[H // 2, W // 2 + 10, 0])
+
+    def test_front_to_back_ordering(self):
+        # an opaque near gaussian should occlude a far one
+        common = dict(
+            scaling=np.log([[0.08, 0.08, 0.08]] * 2),
+            rotation=[[1.0, 0, 0, 0]] * 2,
+        )
+        from fateavatar_tpu.ops.sh import rgb_to_sh
+
+        colors = rgb_to_sh(jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]))
+        g = make_gaussians(
+            xyz=[[0.0, 0.0, 0.8], [0.0, 0.0, 1.6]],
+            opacity=[[15.0], [15.0]],  # sigmoid ~ 1 -> clamped 0.99
+            features_dc=np.asarray(colors)[:, None, :],
+            **common,
+        )
+        cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.9, W, H)
+        prep = run_preprocess(cam, g)
+        img = blend_reference(prep, W, H, jnp.zeros(3))
+        centre = np.asarray(img[H // 2, W // 2])
+        assert centre[0] > 10 * max(centre[1], 1e-6)  # red (near) wins
+
+
+class TestBinning:
+    def test_lists_match_bruteforce(self):
+        cam, g, bg = make_scene(60, seed=1)
+        prep = run_preprocess(cam, g)
+        grid = binning.tile_grid(W, H)
+        lists = binning.build_tile_lists(
+            prep.mean2d, prep.depth, prep.radius, grid,
+            max_per_tile=64, max_tiles_per_gaussian=36,
+        )
+        mean2d = np.asarray(prep.mean2d)
+        depth = np.asarray(prep.depth)
+        radius = np.asarray(prep.radius)
+        ty, tx = grid
+        # brute force: for each tile, all visible gaussians whose rect
+        # overlaps, sorted by depth
+        for t in range(ty * tx):
+            tyi, txi = divmod(t, tx)
+            expected = []
+            for i in range(len(mean2d)):
+                if radius[i] <= 0:
+                    continue
+                rminx = min(tx, max(0, int((mean2d[i, 0] - radius[i]) / 16)))
+                rminy = min(ty, max(0, int((mean2d[i, 1] - radius[i]) / 16)))
+                rmaxx = min(tx, max(0, int((mean2d[i, 0] + radius[i] + 15) / 16)))
+                rmaxy = min(ty, max(0, int((mean2d[i, 1] + radius[i] + 15) / 16)))
+                if rminx <= txi < rmaxx and rminy <= tyi < rmaxy:
+                    expected.append(i)
+            expected.sort(key=lambda i: depth[i])
+            got = [x for x in np.asarray(lists.ids[t]) if x >= 0]
+            assert got == expected, f"tile {t}"
+
+    def test_overflow_counting(self):
+        cam, g, bg = make_scene(50, seed=2)
+        prep = run_preprocess(cam, g)
+        grid = binning.tile_grid(W, H)
+        full = binning.build_tile_lists(
+            prep.mean2d, prep.depth, prep.radius, grid,
+            max_per_tile=64, max_tiles_per_gaussian=64,
+        )
+        tight = binning.build_tile_lists(
+            prep.mean2d, prep.depth, prep.radius, grid,
+            max_per_tile=2, max_tiles_per_gaussian=64,
+        )
+        assert int(full.overflow) == 0 or int(full.overflow) >= 0
+        assert int(tight.overflow) > 0
+        np.testing.assert_array_equal(full.counts, tight.counts)
+
+
+class TestTileBlend:
+    def test_xla_blend_matches_oracle(self):
+        cam, g, bg = make_scene(80, seed=3)
+        prep = run_preprocess(cam, g)
+        grid = binning.tile_grid(W, H)
+        lists = binning.build_tile_lists(
+            prep.mean2d, prep.depth, prep.radius, grid, max_per_tile=128,
+        )
+        assert int(lists.overflow) == 0
+        tiles = gather_tiles(prep, lists)
+        img_tiles, _ = blend_tiles_xla(*tiles, bg, grid, chunk=32)
+        img = tiles_to_image(img_tiles, grid, W, H)
+        oracle = blend_reference(prep, W, H, bg)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(oracle), atol=2e-5)
+
+    def test_pallas_interpret_matches_xla(self):
+        cam, g, bg = make_scene(64, seed=4)
+        prep = run_preprocess(cam, g)
+        grid = binning.tile_grid(W, H)
+        lists = binning.build_tile_lists(
+            prep.mean2d, prep.depth, prep.radius, grid, max_per_tile=128,
+        )
+        tiles = gather_tiles(prep, lists)
+        ref_tiles, ref_tfin = blend_tiles_xla(*tiles, bg, grid, chunk=32)
+        got_tiles, got_tfin = blend_tiles_pallas(
+            tiles[0], tiles[1], tiles[2], tiles[3],
+            tiles[4].astype(jnp.float32), bg, grid, 32, True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_tiles), np.asarray(ref_tiles), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_tfin), np.asarray(ref_tfin), atol=2e-5
+        )
+
+    def test_pallas_vjp_matches_xla_autodiff(self):
+        cam, g, bg = make_scene(48, seed=5)
+        prep = run_preprocess(cam, g)
+        grid = binning.tile_grid(W, H)
+        lists = binning.build_tile_lists(
+            prep.mean2d, prep.depth, prep.radius, grid, max_per_tile=64,
+        )
+        mean2d_t, conic_t, color_t, opacity_t, valid = gather_tiles(prep, lists)
+        rng = np.random.default_rng(0)
+        g_img = jnp.asarray(rng.normal(size=(lists.ids.shape[0], 3, 256)), jnp.float32)
+        g_tfin = jnp.asarray(rng.normal(size=(lists.ids.shape[0], 256)), jnp.float32)
+
+        def loss_xla(m, c, cl, op, b):
+            img, tfin = blend_tiles_xla(m, c, cl, op, valid, b, grid, chunk=32)
+            return jnp.sum(img * g_img) + jnp.sum(tfin * g_tfin)
+
+        def loss_pallas(m, c, cl, op, b):
+            img, tfin = blend_tiles_pallas(
+                m, c, cl, op, valid.astype(jnp.float32), b, grid, 32, True
+            )
+            return jnp.sum(img * g_img) + jnp.sum(tfin * g_tfin)
+
+        args = (mean2d_t, conic_t, color_t, opacity_t, bg)
+        g_ref = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(*args)
+        g_got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(*args)
+        names = ["mean2d", "conic", "color", "opacity", "bg"]
+        for name, a, b in zip(names, g_ref, g_got):
+            scale = max(1e-3, float(jnp.abs(a).max()))
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-4,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_xla_blend_numeric_grads(self):
+        # finite-difference check of the full preprocess+blend chain
+        cam, g, bg = make_scene(12, seed=6)
+
+        def f(xyz):
+            g2 = g.replace(xyz=xyz)
+            out = render(cam, g2, bg, config=RenderConfig(
+                impl="xla", max_per_tile=64, chunk=32))
+            return jnp.mean(out["render"] ** 2)
+
+        from jax.test_util import check_grads
+
+        check_grads(f, (g.xyz,), order=1, modes=["rev"], atol=2e-2, rtol=2e-2)
+
+
+class TestRenderFacade:
+    def test_render_outputs(self):
+        cam, g, bg = make_scene(64, seed=7)
+        out = render(cam, g, bg, config=RenderConfig(impl="xla", max_per_tile=128))
+        assert out["render"].shape == (H, W, 3)
+        assert out["radii"].shape == (g.capacity,)
+        assert bool(jnp.any(out["visibility_filter"]))
+        assert np.isfinite(np.asarray(out["render"])).all()
+
+    def test_dead_slots_do_not_render(self):
+        cam, g, bg = make_scene(32, seed=8)
+        half_alive = g.alive.at[16:].set(False)
+        out_full = render(cam, g, bg, config=RenderConfig(impl="xla"))
+        out_half = render(cam, g.replace(alive=half_alive), bg,
+                          config=RenderConfig(impl="xla"))
+        g_trunc = jax.tree.map(lambda x: x[:16], g.replace(sh_degree=g.sh_degree))
+        out_trunc = render(cam, g_trunc, bg, config=RenderConfig(impl="xla"))
+        assert not np.allclose(out_full["render"], out_half["render"])
+        np.testing.assert_allclose(
+            np.asarray(out_half["render"]), np.asarray(out_trunc["render"]),
+            atol=1e-5,
+        )
+
+    def test_means2d_probe_grad(self):
+        cam, g, bg = make_scene(32, seed=9)
+        probe = jnp.zeros((g.capacity, 2))
+
+        def f(p):
+            out = render(cam, g, bg, config=RenderConfig(impl="xla"),
+                         means2d_probe=p)
+            return jnp.sum(out["render"])
+
+        grad = jax.grad(f)(probe)
+        vis = np.asarray(render(cam, g, bg, config=RenderConfig(impl="xla"))["visibility_filter"])
+        gnorm = np.linalg.norm(np.asarray(grad), axis=-1)
+        assert (gnorm[vis] > 0).any()
+
+    def test_sh_degree_3_renders(self):
+        cam, g, bg = make_scene(24, seed=10, sh_degree=3)
+        out = render(cam, g, bg, config=RenderConfig(impl="xla"))
+        assert np.isfinite(np.asarray(out["render"])).all()
+
+    def test_jit_render(self):
+        cam, g, bg = make_scene(32, seed=11)
+        f = jax.jit(lambda gg: render(cam, gg, bg,
+                                      config=RenderConfig(impl="xla"))["render"])
+        img = f(g)
+        img2 = render(cam, g, bg, config=RenderConfig(impl="xla"))["render"]
+        np.testing.assert_allclose(np.asarray(img), np.asarray(img2), atol=1e-5)

@@ -1,0 +1,294 @@
+"""Integration tests: Trainer on a synthetic dataset, checkpoint roundtrip,
+tracking refinement, data-parallel step on the virtual 8-device CPU mesh,
+and the driver entry points (SURVEY.md §4 layers (d)-(e))."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fateavatar_tpu.flame import synthetic_flame
+from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
+from fateavatar_tpu.render.render import RenderConfig
+from fateavatar_tpu.train.datasets import SyntheticDataset
+from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
+from fateavatar_tpu.train.optim import fateavatar_optimizers
+from fateavatar_tpu.train.step import MaintenanceConfig
+from fateavatar_tpu.train.trainer import Trainer
+from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+
+RES = 32
+RENDER_CFG = RenderConfig(impl="xla", max_per_tile=64, chunk=32)
+
+
+def build_trainer(tmp_path=None, **kw):
+    flame = synthetic_flame(n_verts=96, n_shape=6, n_exp=4, seed=0)
+    mesh = sphere_obj_mesh(96)
+    cfg = FateAvatarConfig(
+        tex_size=8, capacity=128, img_height=RES, img_width=RES,
+        normal_offset=0.02,
+    )
+    model, params, state = init_fateavatar(mesh, flame, cfg)
+    ds = SyntheticDataset(num_frames=4, img_res=(RES, RES), n_exp=4)
+    return Trainer(
+        name="t",
+        model=model, params=params, state=state,
+        loss_fn=FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0)),
+        optimizer=fateavatar_optimizers({}),
+        train_dataset=ds,
+        test_dataset=SyntheticDataset(num_frames=2, img_res=(RES, RES), n_exp=4, seed=1),
+        workspace=str(tmp_path) if tmp_path else None,
+        maint_cfg=MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
+                                    opacity_reset_interval=10**9),
+        render_cfg=RENDER_CFG,
+        snapshot_interval=10**9,
+        **kw,
+    )
+
+
+class TestTrainer:
+    def test_epoch_runs_and_loss_finite(self, tmp_path):
+        tr = build_trainer(tmp_path)
+        tr.epoch = 1
+        tr.train_epoch()
+        assert tr.global_step == 4
+
+    def test_evaluate_writes_metrics(self, tmp_path):
+        tr = build_trainer(tmp_path)
+        summary = tr.evaluate(mode="test", save_media=True)
+        assert np.isfinite(summary["psnr"])
+        files = os.listdir(os.path.join(str(tmp_path), "media", "metrics"))
+        assert any(f.startswith("test_epoch") for f in files)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        tr = build_trainer(tmp_path)
+        tr.epoch = 1
+        tr.train_epoch()
+        tr.save_checkpoint()
+        step = tr.global_step
+        params_before = np.asarray(tr.ts.params.offset)
+
+        tr2 = build_trainer(tmp_path)
+        tr2.load_checkpoint()
+        assert tr2.global_step == step
+        np.testing.assert_allclose(np.asarray(tr2.ts.params.offset), params_before)
+
+    def test_fps_performance(self):
+        tr = build_trainer()
+        fps = tr.fps_performance_test(n=5)
+        assert fps > 0
+
+
+class TestTracking:
+    def test_tracking_tables_update(self, tmp_path):
+        from fateavatar_tpu.train import tracking as T
+
+        flame = synthetic_flame(n_verts=96, n_shape=6, n_exp=4, seed=0)
+        mesh = sphere_obj_mesh(96)
+        cfg = FateAvatarConfig(tex_size=8, capacity=128, img_height=RES,
+                               img_width=RES, normal_offset=0.02)
+        model, params, state = init_fateavatar(mesh, flame, cfg)
+        ds = SyntheticDataset(num_frames=3, img_res=(RES, RES), n_exp=4)
+        ds.optimize_tracking = True
+
+        tr = Trainer(
+            name="track", model=model, params=params, state=state,
+            loss_fn=FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0)),
+            optimizer=fateavatar_optimizers({}),
+            train_dataset=ds,
+            test_dataset=SyntheticDataset(num_frames=2, img_res=(RES, RES),
+                                          n_exp=4, seed=1),
+            workspace=None, render_cfg=RENDER_CFG,
+            maint_cfg=MaintenanceConfig(densify_interval=10**9,
+                                        prune_interval=10**9,
+                                        opacity_reset_interval=10**9),
+        )
+        before = np.asarray(tr.train_tables.expression).copy()
+        tr.epoch = 1
+        tr.train_epoch()
+        after = np.asarray(tr.train_tables.expression)
+        assert not np.allclose(before, after)  # rows moved
+        # SparseAdam semantics: rows were each visited once
+        assert (np.asarray(tr.train_track_state.count) == 1).all()
+
+
+class TestParallel:
+    def test_dp_step_8_devices(self):
+        assert jax.device_count() >= 8
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+    def test_dp_matches_single_device_loss(self):
+        """The DP loss with identical frames equals the single-frame loss."""
+        from fateavatar_tpu.parallel import (
+            make_device_mesh, make_dp_train_step, replicate, shard_frames,
+        )
+        from fateavatar_tpu.parallel.data_parallel import stack_frames
+        from fateavatar_tpu.train.step import (
+            Frame, init_train_state, make_train_step,
+        )
+        from fateavatar_tpu.ops.camera import make_camera
+
+        flame = synthetic_flame(n_verts=96, n_shape=6, n_exp=4, seed=0)
+        mesh_obj = sphere_obj_mesh(96)
+        cfg = FateAvatarConfig(tex_size=8, capacity=128, img_height=RES,
+                               img_width=RES, normal_offset=0.02)
+        model, params, state = init_fateavatar(mesh_obj, flame, cfg)
+        loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0))
+        opt = fateavatar_optimizers({})
+        maint = MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
+                                  opacity_reset_interval=10**9)
+
+        rng = np.random.default_rng(0)
+        frame = Frame(
+            expression=jnp.asarray(rng.normal(size=4) * 0.2, jnp.float32),
+            flame_pose=jnp.asarray(rng.normal(size=15) * 0.05, jnp.float32),
+            camera=make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                               0.8, 0.8, RES, RES),
+            rgb=jnp.asarray(rng.random((RES, RES, 3)), jnp.float32),
+            bg_color=jnp.ones(3),
+        )
+
+        single = make_train_step(model, loss_fn, opt, maint, RENDER_CFG)
+        ts1 = init_train_state(params, state, opt)
+        _, aux1 = single(ts1, frame)
+
+        mesh = make_device_mesh(4)
+        dp = make_dp_train_step(model, loss_fn, opt, mesh, maint, RENDER_CFG)
+        batch = shard_frames(stack_frames([frame] * 4), mesh)
+        ts2 = replicate(init_train_state(params, state, opt), mesh)
+        _, aux2 = dp(ts2, batch)
+
+        np.testing.assert_allclose(
+            float(aux1["loss"]), float(aux2["loss"]), rtol=1e-5
+        )
+
+
+class TestGraftEntry:
+    def test_entry_compiles_small(self):
+        # compile the entry fn at reduced scale to keep CI fast
+        import __graft_entry__ as ge
+
+        model_bundle = ge._build_avatar(res=64, tex_size=8, capacity=128,
+                                        n_verts=96)
+        # entry() itself builds at full scale; here we only validate the
+        # function shape contract on the small bundle
+        import jax.numpy as jnp
+        from fateavatar_tpu.models import fateavatar_forward
+        from fateavatar_tpu.ops.camera import make_camera
+        from fateavatar_tpu.render.render import RenderConfig
+
+        model, params, state = model_bundle
+        camera = make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                             0.8, 0.8, 64, 64)
+        fn = jax.jit(lambda p, s, e, fp: fateavatar_forward(
+            model, p, s, e, fp, camera,
+            render_cfg=RenderConfig(impl="xla", max_per_tile=64, chunk=32),
+        )["rgb_image"])
+        img = fn(params, state, jnp.zeros(6), jnp.zeros(15))
+        assert img.shape == (64, 64, 3)
+
+
+class TestDatasets:
+    def test_synthetic_dataset_contract(self):
+        ds = SyntheticDataset(num_frames=3, img_res=(RES, RES), n_exp=4)
+        s = ds.sample(1)
+        assert s["expression"].shape == (4,)
+        assert s["flame_pose"].shape == (15,)
+        assert s["cam_pose"].shape == (4, 4)
+        assert s["ground_truth"]["rgb"].shape == (RES, RES, 3)
+
+    def test_prefetcher_yields_all(self):
+        from fateavatar_tpu.train.datasets import Prefetcher
+
+        ds = SyntheticDataset(num_frames=5, img_res=(RES, RES), n_exp=4)
+        got = [s["idx"] for s in Prefetcher(ds, np.arange(5))]
+        assert got == [0, 1, 2, 3, 4]
+
+    def test_insta_reader_from_generated_layout(self, tmp_path):
+        """Round-trip: write a minimal INSTA layout and read it back."""
+        import json
+        from PIL import Image
+
+        root = tmp_path / "insta" / "subj"
+        (root / "images").mkdir(parents=True)
+        for sub in ("exp", "eyes", "jaw", "shape"):
+            (root / "flame" / sub).mkdir(parents=True)
+        frames = []
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            name = f"{i:05d}"
+            Image.fromarray(
+                (rng.random((RES, RES, 3)) * 255).astype("uint8")
+            ).save(root / "images" / f"{name}.png")
+            np.savetxt(root / "flame" / "exp" / f"{name}.txt", rng.normal(size=100))
+            eye6d = np.concatenate([np.eye(3)[:2].ravel()] * 2)
+            np.savetxt(root / "flame" / "eyes" / f"{name}.txt", eye6d)
+            np.savetxt(root / "flame" / "jaw" / f"{name}.txt", np.eye(3)[:2].ravel())
+            np.savetxt(root / "flame" / "shape" / f"{name}.txt", rng.normal(size=300))
+            c2w = np.eye(4)
+            c2w[2, 3] = -1.0
+            frames.append({
+                "file_path": f"images/{name}.png",
+                "exp_path": f"flame/exp/{name}.txt",
+                "transform_matrix": c2w.tolist(),
+            })
+        meta = {
+            "frames": frames, "fl_x": 800.0, "fl_y": 800.0,
+            "cx": RES / 2, "cy": RES / 2, "w": RES, "h": RES,
+        }
+        with open(root / "transforms_train.json", "w") as f:
+            json.dump(meta, f)
+
+        from fateavatar_tpu.train.datasets import InstaDataset
+
+        ds = InstaDataset(str(root), "train", (RES, RES))
+        assert len(ds) == 3
+        assert ds.expressions.shape == (3, 100)
+        assert ds.flame_pose.shape == (3, 15)
+        # jaw/eye identity rotations -> zero axis-angle
+        np.testing.assert_allclose(ds.flame_pose[:, 6:], 0.0, atol=1e-6)
+        s = ds.sample(0)
+        assert s["ground_truth"]["rgb"].shape == (RES, RES, 3)
+
+    def test_imavatar_reader_from_generated_layout(self, tmp_path):
+        import json
+        from PIL import Image
+
+        root = tmp_path / "imavatar" / "subj"
+        inst = root / "subj_train"
+        (inst / "matted").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        frames = []
+        for i in range(2):
+            Image.fromarray(
+                (rng.random((RES, RES, 3)) * 255).astype("uint8")
+            ).save(inst / "matted" / f"{i}.png")
+            wm = np.eye(4)[:3]
+            wm = wm.copy()
+            wm[2, 3] = 4.0
+            frames.append({
+                "file_path": f"image/{i}",
+                "world_mat": wm.tolist(),
+                "expression": rng.normal(size=50).tolist(),
+                "pose": rng.normal(size=15).tolist(),
+            })
+        meta = {
+            "frames": frames,
+            "shape_params": rng.normal(size=100).tolist(),
+            "intrinsics": [-1.5, 1.5, 0.5, 0.5],
+        }
+        with open(inst / "flame_params.json", "w") as f:
+            json.dump(meta, f)
+
+        from fateavatar_tpu.train.datasets import IMAvatarDataset
+
+        ds = IMAvatarDataset(str(root), "train", (RES, RES))
+        assert len(ds) == 2
+        assert ds.optimize_tracking
+        assert ds.expressions.shape == (2, 50)
+        s = ds.sample(0)
+        assert s["ground_truth"]["rgb"].shape == (RES, RES, 3)
