@@ -17,10 +17,11 @@ __version__ = "0.1.0"
 
 import os as _os
 
-if _os.environ.get("JAX_PLATFORMS"):
+if _os.environ.get("JAX_PLATFORMS") in ("cpu", "tpu", "gpu", "cuda"):
     # Some site configurations force-register accelerator plugins through
     # jax.config, which silently overrides the JAX_PLATFORMS env var. Restore
-    # standard JAX behaviour: the env var wins.
+    # standard JAX behaviour for the standard platform names: the env var
+    # wins. (Plugin-specific aliases are left to the plugin.)
     import jax as _jax
 
     try:

@@ -415,22 +415,27 @@ def uv_decoder_forward(
 
 def render_from_texture_dict(
     model: UVDecoderModel,
-    raw_textures: Dict[str, jax.Array],
+    textures: Dict[str, jax.Array],
     expression, flame_pose, camera,
     bg_color=None,
     render_cfg: RenderConfig = RenderConfig(),
-    color_already_activated: bool = True,
+    activated: bool = True,
 ):
-    """Animate EDITED textures (uv_decoder.py:564-690): the editing pipeline
-    operates on activated color textures, so color is not re-activated."""
-    act = {}
-    for name, tex in raw_textures.items():
-        if name == "color" and color_already_activated:
-            act[name] = tex
-        else:
-            act[name] = activate_texture(
+    """Animate EDITED textures (uv_decoder.py:564-690).
+
+    ``activated=True``: textures are fully activated already (the editor
+    operates in activated space). ``activated=False``: raw decoder dumps —
+    activate everything except color, which the reference's editing pipeline
+    pre-activates outside (uv_decoder.py:109-131)."""
+    if activated:
+        act = dict(textures)
+    else:
+        act = {
+            name: tex if name == "color" else activate_texture(
                 name, tex, model.mean_scaling, model.max_scaling
             )
+            for name, tex in textures.items()
+        }
     decoded = sample_attributes(model, act)
     values = _merge_with_priors(model, decoded)
     gaussians, _, _ = _assemble_gaussians(model, values, expression, flame_pose)

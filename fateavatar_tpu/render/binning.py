@@ -59,20 +59,30 @@ def gaussian_rect(mean2d: jax.Array, radius: jax.Array, grid: tuple):
     return rmin_x, rmin_y, rmax_x, rmax_y
 
 
-@partial(jax.jit, static_argnames=("grid", "max_per_tile", "max_tiles_per_gaussian"))
+@partial(jax.jit, static_argnames=(
+    "grid", "max_per_tile", "max_tiles_per_gaussian", "instance_budget"))
 def build_tile_lists(
     mean2d: jax.Array,
     depth: jax.Array,
     radius: jax.Array,
     grid: tuple,
     max_per_tile: int = 1024,
-    max_tiles_per_gaussian: int = 36,
+    max_tiles_per_gaussian: int = 32,
+    instance_budget: int = 0,
 ) -> TileLists:
-    """Build [T, K] depth-ordered per-tile lists of Gaussian indices."""
+    """Build [T, K] depth-ordered per-tile lists of Gaussian indices.
+
+    ``instance_budget``: static capacity of the compacted instance list fed
+    to the sort (0 -> min(8 * N, N * R)). Most candidate slots are invalid
+    (small rects), so compacting via a cheap cumsum before the expensive
+    sort cuts the sort size ~4-8x — the TPU stand-in for CUDA's exact
+    ``num_rendered`` allocation (rasterizer_impl.cu:280-285).
+    """
     n = mean2d.shape[0]
     ty, tx = grid
     num_tiles = ty * tx
     R = max_tiles_per_gaussian
+    M = instance_budget or min(8 * n, n * R)
 
     visible = radius > 0
 
@@ -100,11 +110,25 @@ def build_tile_lists(
         jnp.where(visible_s, jnp.maximum(n_tiles_touched - R, 0), 0)
     )
 
-    # 3. stable sort instances by tile id (preserves depth order within tile)
+    # 3a. compact valid instances into the static budget (cumsum ≪ sort)
+    flat_valid = valid.reshape(-1)
     flat_tiles = tile_id.reshape(-1)
     gauss_idx = jnp.broadcast_to(order[:, None], tile_id.shape).reshape(-1)
+    pos = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+    dest = jnp.where(flat_valid & (pos < M), pos, M)
+    comp_tiles = jnp.full((M + 1,), num_tiles, jnp.int32).at[dest].set(
+        flat_tiles.astype(jnp.int32), mode="drop"
+    )[:M]
+    comp_gauss = jnp.zeros((M + 1,), jnp.int32).at[dest].set(
+        gauss_idx.astype(jnp.int32), mode="drop"
+    )[:M]
+    n_valid = jnp.sum(flat_valid)
+    dropped_tiles = dropped_tiles + jnp.maximum(n_valid - M, 0)
+
+    # 3b. stable sort the compacted instances by tile id (preserves depth
+    # order within each tile)
     sort_tiles, sort_gauss = jax.lax.sort(
-        (flat_tiles, gauss_idx.astype(jnp.int32)), num_keys=1, is_stable=True
+        (comp_tiles, comp_gauss), num_keys=1, is_stable=True
     )
 
     # 4. per-tile ranks and scatter into [T, K]

@@ -224,7 +224,7 @@ def _fwd_kernel(mean_ref, conic_ref, color_ref, opac_ref, valid_ref, bg_ref,
     )
     bg = bg_ref[0]                                # [3]
     img_ref[0, :, :] = accum + t_final * bg[:, None]
-    tfin_ref[:, :] = t_final
+    tfin_ref[0] = t_final                         # block [1, 1, P]
 
 
 def _bwd_kernel(mean_ref, conic_ref, color_ref, opac_ref, valid_ref, bg_ref,
@@ -240,9 +240,9 @@ def _bwd_kernel(mean_ref, conic_ref, color_ref, opac_ref, valid_ref, bg_ref,
 
     nchunk = k // chunk
     img = img_ref[0]                # [3, P] forward output (residual)
-    t_n = tfin_ref[0:1, :]          # [1, P]
+    t_n = tfin_ref[0]               # [1, P] (block [1, 1, P])
     g_img = gimg_ref[0]             # [3, P]
-    g_tfin = gtfin_ref[0:1, :]      # [1, P]
+    g_tfin = gtfin_ref[0]           # [1, P]
 
     def body(i, carry):
         t_carry, prefix_r, prefix_g, prefix_b = carry
@@ -332,7 +332,7 @@ def _pallas_call_fwd(mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
     kern = functools.partial(_fwd_kernel, grid_x=tx, k=K, chunk=chunk)
     spec = lambda d: pl.BlockSpec((1, K, d), lambda t: (t, 0, 0),
                                   memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    img, tfin3 = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
@@ -341,16 +341,17 @@ def _pallas_call_fwd(mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
         ],
         out_specs=[
             pl.BlockSpec((1, 3, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, 3, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
         interpret=interpret,
     )(mean2d_t, conic_t, color_t,
       opacity_t[..., None], valid_t.astype(jnp.float32)[..., None],
       bg.reshape(1, 3))
+    return img, tfin3[:, 0, :]
 
 
 def _pallas_call_bwd(mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
@@ -363,7 +364,7 @@ def _pallas_call_bwd(mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
     spec = lambda d: pl.BlockSpec((1, K, d), lambda t: (t, 0, 0),
                                   memory_space=pltpu.VMEM)
     tile3 = pl.BlockSpec((1, 3, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
-    tile1 = pl.BlockSpec((1, P), lambda t: (t, 0), memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
     gmean, gconic, gcolor, gopac = pl.pallas_call(
         kern,
         grid=(T,),
@@ -382,7 +383,8 @@ def _pallas_call_bwd(mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
         interpret=interpret,
     )(mean2d_t, conic_t, color_t,
       opacity_t[..., None], valid_t.astype(jnp.float32)[..., None],
-      bg.reshape(1, 3), img_tiles, t_final, g_img, g_tfin)
+      bg.reshape(1, 3), img_tiles, t_final[:, None, :],
+      g_img, g_tfin[:, None, :])
     return gmean, gconic, gcolor, gopac[..., 0]
 
 

@@ -37,7 +37,8 @@ from fateavatar_tpu.render.splats import Gaussians
 @struct.dataclass
 class RenderConfig:
     max_per_tile: int = struct.field(pytree_node=False, default=1024)
-    max_tiles_per_gaussian: int = struct.field(pytree_node=False, default=64)
+    max_tiles_per_gaussian: int = struct.field(pytree_node=False, default=32)
+    instance_budget: int = struct.field(pytree_node=False, default=0)  # 0 = 8N
     chunk: int = struct.field(pytree_node=False, default=64)
     impl: str = struct.field(pytree_node=False, default="auto")  # auto|pallas|xla
 
@@ -93,15 +94,22 @@ def render(
         grid,
         max_per_tile=config.max_per_tile,
         max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+        instance_budget=config.instance_budget,
     )
 
-    # Per-tile gathers: differentiable — XLA transposes them to scatter-adds.
+    # Per-tile gather: ONE packed gather (HBM-bound step — packing the nine
+    # channels into a single [N, 9] array keeps it a single coalesced pass);
+    # differentiable — XLA transposes it to a scatter-add.
     ids = jnp.maximum(lists.ids, 0)
     valid = lists.ids >= 0
-    mean2d_t = jnp.take(mean2d, ids, axis=0)
-    conic_t = jnp.take(prep.conic, ids, axis=0)
-    color_t = jnp.take(prep.color, ids, axis=0)
-    opacity_t = jnp.take(prep.opacity, ids, axis=0)
+    packed = jnp.concatenate(
+        [mean2d, prep.conic, prep.color, prep.opacity[:, None]], axis=-1
+    )
+    packed_t = jnp.take(packed, ids, axis=0)
+    mean2d_t = packed_t[..., 0:2]
+    conic_t = packed_t[..., 2:5]
+    color_t = packed_t[..., 5:8]
+    opacity_t = packed_t[..., 8]
 
     impl = config.resolve_impl()
     if impl == "pallas" or impl == "pallas_interpret":

@@ -238,6 +238,221 @@ class FateAvatarLossConfig:
     flame_weight: float = 0.0
 
 
+@dataclass
+class FlashAvatarLossConfig:
+    huber_weight: float = 1.0
+    lpips_weight: float = 0.0     # step-gated in the reference (>15k steps)
+    mouth_weight: float = 40.0
+
+
+class FlashAvatarLoss:
+    """Huber + 40x mouth-region huber (train/loss.py:203-255). The LPIPS
+    term needs pretrained weights; pass ``lpips_fn`` or leave disabled."""
+
+    def __init__(self, cfg: FlashAvatarLossConfig = FlashAvatarLossConfig()):
+        self.cfg = cfg
+
+    def __call__(self, model_out: dict, ground_truth: dict, cur_step=None):
+        pred, gt = model_out["rgb_image"], ground_truth["rgb"]
+        loss = huber_loss(pred, gt, 0.1)
+        if ground_truth.get("mouth_mask") is not None:
+            m = ground_truth["mouth_mask"]
+            loss = loss + self.cfg.mouth_weight * huber_loss(pred * m, gt * m, 0.1)
+        return {"loss": loss * self.cfg.huber_weight, "huber_loss": loss}
+
+
+@dataclass
+class GaussianAvatarsLossConfig:
+    rgb_weight: float = 0.8
+    dssim_weight: float = 0.2
+    scale_weight: float = 1.0
+    xyz_weight: float = 0.01
+    threshold_scale: float = 0.6
+    threshold_xyz: float = 1.0
+
+
+class GaussianAvatarsLoss:
+    """0.8 L1 + 0.2 DSSIM + local scale/xyz penalties (train/loss.py:327-381),
+    masked to alive splats."""
+
+    def __init__(self, cfg: GaussianAvatarsLossConfig = GaussianAvatarsLossConfig()):
+        self.cfg = cfg
+
+    def __call__(self, model_out: dict, ground_truth: dict, cur_step=None):
+        cfg = self.cfg
+        pred, gt = model_out["rgb_image"], ground_truth["rgb"]
+        rgb = l1_loss(pred, gt)
+        loss = rgb * cfg.rgb_weight
+        out = {"rgb_loss": rgb}
+        if cfg.dssim_weight > 0:
+            v = d_ssim(pred, gt)
+            out["dssim_loss"] = v
+            loss = loss + v * cfg.dssim_weight
+        alive = model_out["alive"].astype(pred.dtype)
+        denom = jnp.maximum(jnp.sum(alive), 1.0)
+        if cfg.scale_weight > 0:
+            reg = jax.nn.relu(model_out["scale"] - cfg.threshold_scale)
+            v = jnp.sum(jnp.linalg.norm(reg, axis=1) * alive) / denom
+            out["scale_loss"] = v
+            loss = loss + v * cfg.scale_weight
+        if cfg.xyz_weight > 0:
+            reg = jax.nn.relu(
+                jnp.linalg.norm(model_out["xyz"], axis=1) - cfg.threshold_xyz
+            )
+            v = jnp.sum(reg * alive) / denom
+            out["xyz_loss"] = v
+            loss = loss + v * cfg.xyz_weight
+        out["loss"] = loss
+        return out
+
+
+@dataclass
+class SplattingAvatarLossConfig:
+    rgb_weight: float = 1.0
+    mse_weight: float = 10.0
+    scale_weight: float = 1.0
+    lpips_weight: float = 0.0
+    scale_threshold: float = 10.0
+    max_scaling: float = 0.008
+
+
+class SplattingAvatarLoss:
+    """L1 + 10*MSE + conditional max-scale penalty (train/loss.py:259-325)."""
+
+    def __init__(self, cfg: SplattingAvatarLossConfig = SplattingAvatarLossConfig()):
+        self.cfg = cfg
+
+    def __call__(self, model_out: dict, ground_truth: dict, cur_step=None):
+        cfg = self.cfg
+        pred, gt = model_out["rgb_image"], ground_truth["rgb"]
+        rgb = l1_loss(pred, gt)
+        loss = rgb * cfg.rgb_weight
+        out = {"rgb_loss": rgb}
+        if cfg.mse_weight > 0:
+            v = l2_loss(pred, gt)
+            out["mse_loss"] = v
+            loss = loss + v * cfg.mse_weight
+        if cfg.scale_weight > 0:
+            scale = model_out["scale"]
+            alive = model_out["alive"]
+            smax = jnp.max(scale, axis=-1)
+            smin = jnp.maximum(jnp.min(scale, axis=-1), 1e-12)
+            bad = (smax > cfg.max_scaling) & (smax / smin > cfg.scale_threshold) & alive
+            cnt = jnp.sum(bad)
+            v = jnp.where(
+                cnt > 0, jnp.sum(jnp.where(bad, smax, 0.0)) / jnp.maximum(cnt, 1), 0.0
+            )
+            out["scale_loss"] = v
+            loss = loss + v * cfg.scale_weight
+        out["loss"] = loss
+        return out
+
+
+@dataclass
+class MonoGaussianAvatarLossConfig:
+    rgb_weight: float = 1.0
+    vgg_weight: float = 0.0
+    dssim_weight: float = 0.25
+    lbs_weight: float = 10.0
+    dataset_type: str = "insta"
+    gt_lbs_milestones: tuple = ()
+    gt_lbs_factor: float = 0.5
+
+
+class MonoGaussianAvatarLoss:
+    """rgb + dssim (+vgg) + lbs/posedirs/shapedirs distillation towards the
+    FLAME values at each point's nearest canonical vertex
+    (train/loss.py:385-517). ``var_expression`` optionally weights the
+    shapedirs term by inverse expression variance."""
+
+    def __init__(self, cfg: MonoGaussianAvatarLossConfig, flame,
+                 var_expression=None, vgg_params=None):
+        self.cfg = cfg
+        self.flame = flame
+        self.var_expression = (
+            jnp.asarray(var_expression) if var_expression is not None else None
+        )
+        self.vgg_params = vgg_params
+        self._lbs_scale = 1.0  # decayed at milestones (host-side)
+
+    def decay_at_epoch(self, epoch: int):
+        if epoch in self.cfg.gt_lbs_milestones:
+            self._lbs_scale *= self.cfg.gt_lbs_factor
+
+    def __call__(self, model_out: dict, ground_truth: dict, cur_step=None):
+        cfg = self.cfg
+        pred, gt = model_out["rgb_image"], ground_truth["rgb"]
+        rgb = l1_loss(pred, gt)
+        loss = rgb * cfg.rgb_weight
+        out = {"rgb_loss": rgb}
+        if cfg.vgg_weight > 0 and self.vgg_params is not None:
+            v = vgg_perceptual_loss(self.vgg_params, pred, gt)
+            out["vgg_loss"] = v
+            loss = loss + v * cfg.vgg_weight
+        if cfg.dssim_weight > 0:
+            v = d_ssim(pred, gt)
+            out["dssim_loss"] = v
+            loss = loss + v * cfg.dssim_weight
+
+        idx = model_out["index_batch"]
+        flame = self.flame
+        alive = model_out["alive"].astype(pred.dtype)[:, None]
+        denom = jnp.maximum(jnp.sum(alive), 1.0)
+        lbs_w = cfg.lbs_weight * self._lbs_scale
+
+        def masked_mse(a, b, var=None):
+            d = (a - b) ** 2
+            if var is not None:
+                d = d / var / 50.0
+            return jnp.sum(jnp.mean(d, axis=-1, keepdims=True) * alive) / denom
+
+        ghostbone = model_out["lbs_weights"].shape[-1] == 6
+        gt_lbs = jnp.take(flame.lbs_weights, idx, axis=0)
+        if ghostbone:
+            gt_lbs = jnp.concatenate(
+                [jnp.zeros_like(gt_lbs[:, :1]), gt_lbs], axis=-1
+            )
+        v = masked_mse(model_out["lbs_weights"], gt_lbs)
+        out["lbs_loss"] = v
+        loss = loss + v * lbs_w * 0.1
+
+        gt_posedirs = jnp.take(
+            flame.posedirs.reshape(36, -1, 3).transpose(1, 0, 2), idx, axis=0
+        )
+        v = masked_mse(
+            model_out["posedirs"].reshape(idx.shape[0], -1) * 10,
+            gt_posedirs.reshape(idx.shape[0], -1) * 10,
+        )
+        out["posedirs_loss"] = v
+        loss = loss + v * lbs_w * 10.0
+
+        n_exp = model_out["shapedirs"].shape[-1]
+        if cfg.dataset_type == "insta":
+            gt_shapedirs = jnp.take(
+                flame.shapedirs[..., -n_exp:], idx, axis=0
+            )
+        else:
+            gt_shapedirs = jnp.take(
+                flame.shapedirs[..., flame.n_shape:], idx, axis=0
+            )
+        var = None
+        if self.var_expression is not None:
+            var = jnp.broadcast_to(
+                self.var_expression.reshape(1, 1, -1)[..., :n_exp],
+                gt_shapedirs.shape,
+            ).reshape(idx.shape[0], -1)
+        v = masked_mse(
+            model_out["shapedirs"].reshape(idx.shape[0], -1) * 10,
+            gt_shapedirs.reshape(idx.shape[0], -1) * 10,
+            var=var,
+        )
+        out["shapedirs_loss"] = v
+        loss = loss + v * lbs_w * 10.0
+
+        out["loss"] = loss
+        return out
+
+
 class FateAvatarLoss:
     """Composable loss (train/loss.py:69-199). Construct once (precomputes
     the face adjacency for the normal term), then call as a pure function.
