@@ -214,6 +214,7 @@ def densify_and_prune(
     """Clone + split + prune (gaussianavatars.py:275-466). ``budget`` caps
     new splats per event (static). Returns (params, state, touched)."""
     n = state.alive.shape[0]
+    budget = min(budget, n)
     grads = state.xyz_gradient_accum / jnp.maximum(state.denom, 1e-12)
     grads = jnp.nan_to_num(grads)
     big_grad = (grads >= max_grad) & state.alive

@@ -82,7 +82,7 @@ def build_tile_lists(
     ty, tx = grid
     num_tiles = ty * tx
     R = max_tiles_per_gaussian
-    M = instance_budget or min(8 * n, n * R)
+    M = instance_budget or min(6 * n, n * R)
 
     visible = radius > 0
 
@@ -151,4 +151,105 @@ def build_tile_lists(
 
     overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + dropped_tiles
 
+    return TileLists(ids=ids, counts=counts, overflow=overflow, grid=grid)
+
+
+@partial(jax.jit, static_argnames=(
+    "grid", "max_per_tile", "max_tiles_per_gaussian", "block"))
+def build_tile_lists_scan(
+    mean2d: jax.Array,
+    depth: jax.Array,
+    radius: jax.Array,
+    grid: tuple,
+    max_per_tile: int = 1024,
+    max_tiles_per_gaussian: int = 32,
+    block: int = 4096,
+) -> TileLists:
+    """SORT-FREE tile binning.
+
+    The CUDA pipeline's 64-bit radix sort (rasterizer_impl.cu:303) and our
+    v1 XLA sort are both replaced by a counting scheme: process the
+    depth-sorted Gaussians in blocks, keep a per-tile running count as the
+    scan carry, and compute each instance's within-tile rank as
+
+        rank(g, tile) = carry[tile] + (exclusive count of earlier
+                        in-block gaussians covering tile)
+
+    where the in-block count is a cumulative sum over a [T, B] coverage
+    mask — pure VPU work instead of O(M log^2 M) sort passes. Ranks then
+    scatter gaussian ids straight into the [T, K] lists.
+    """
+    n = mean2d.shape[0]
+    ty, tx = grid
+    num_tiles = ty * tx
+    R = max_tiles_per_gaussian
+    K = max_per_tile
+    pad = (-n) % block
+    nb = (n + pad) // block
+
+    visible = radius > 0
+    order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
+    mean2d_s = jnp.pad(mean2d[order], ((0, pad), (0, 0)))
+    radius_s = jnp.pad(jnp.where(visible, radius, 0)[order], (0, pad))
+    order_p = jnp.pad(order.astype(jnp.int32), (0, pad), constant_values=-1)
+
+    rminx, rminy, rmaxx, rmaxy = gaussian_rect(mean2d_s, radius_s, grid)
+    vis_s = radius_s > 0
+    rect_w = jnp.maximum(rmaxx - rminx, 1)
+    n_touched = jnp.where(vis_s, rect_w * (rmaxy - rminy), 0)
+    dropped_tiles = jnp.sum(jnp.maximum(n_touched - R, 0))
+
+    # tile coordinates [T]
+    t_lin = jnp.arange(num_tiles, dtype=jnp.int32)
+    t_x = (t_lin % tx)[:, None]
+    t_y = (t_lin // tx)[:, None]
+
+    r_lin = jnp.arange(R, dtype=jnp.int32)[None, :]
+
+    def body(carry_counts, blk):
+        bx0, by0, bx1, by1, gid, bw, btouched = blk
+        # [T, B] coverage mask (invisible/padding gaussians excluded so they
+        # neither shift ranks nor inflate counts)
+        cover = (
+            (t_x >= bx0[None, :]) & (t_x < bx1[None, :])
+            & (t_y >= by0[None, :]) & (t_y < by1[None, :])
+            & (btouched > 0)[None, :]
+        )
+        cover_i = cover.astype(jnp.int32)
+        incl = jnp.cumsum(cover_i, axis=1)
+        excl = incl - cover_i                       # exclusive within block
+
+        # candidate tiles per gaussian (row-major rect walk, capped at R)
+        cand_x = bx0[:, None] + r_lin % bw[:, None]          # [B, R]
+        cand_y = by0[:, None] + r_lin // bw[:, None]
+        valid = (r_lin < jnp.minimum(btouched, R)[:, None]) & (gid >= 0)[:, None]
+        cand_t = jnp.where(valid, cand_y * tx + cand_x, 0)
+
+        g_local = jnp.broadcast_to(
+            jnp.arange(bx0.shape[0], dtype=jnp.int32)[:, None], cand_t.shape
+        )
+        rank = carry_counts[cand_t] + excl[cand_t, g_local]  # [B, R]
+
+        write = valid & (rank < K)
+        flat = jnp.where(write, cand_t * K + rank, num_tiles * K)
+        ids_update = (flat, jnp.broadcast_to(gid[:, None], cand_t.shape))
+
+        carry_counts = carry_counts + incl[:, -1]
+        return carry_counts, ids_update
+
+    blocks = (
+        rminx.reshape(nb, block), rminy.reshape(nb, block),
+        rmaxx.reshape(nb, block), rmaxy.reshape(nb, block),
+        order_p.reshape(nb, block), rect_w.reshape(nb, block),
+        n_touched.reshape(nb, block),
+    )
+    counts, (flat_all, gid_all) = jax.lax.scan(
+        body, jnp.zeros((num_tiles,), jnp.int32), blocks
+    )
+
+    lists = jnp.full((num_tiles * K + 1,), -1, jnp.int32)
+    lists = lists.at[flat_all.reshape(-1)].set(gid_all.reshape(-1), mode="drop")
+    ids = lists[:-1].reshape(num_tiles, K)
+
+    overflow = jnp.sum(jnp.maximum(counts - K, 0)) + dropped_tiles
     return TileLists(ids=ids, counts=counts, overflow=overflow, grid=grid)

@@ -183,8 +183,8 @@ def _chunk_alpha(mean_ref, conic_ref, opac_ref, valid_ref, c0, chunk, px, py):
     return alpha, raw, keep, dx, dy, (a, b, c), exp_power
 
 
-def _fwd_kernel(mean_ref, conic_ref, color_ref, opac_ref, valid_ref, bg_ref,
-                img_ref, tfin_ref, *, grid_x: int, k: int, chunk: int):
+def _fwd_kernel(count_ref, mean_ref, conic_ref, color_ref, opac_ref, valid_ref,
+                bg_ref, img_ref, tfin_ref, *, grid_x: int, k: int, chunk: int):
     t = pl.program_id(0)
     tile_x = (t % grid_x).astype(jnp.float32) * TILE
     tile_y = (t // grid_x).astype(jnp.float32) * TILE
@@ -193,7 +193,12 @@ def _fwd_kernel(mean_ref, conic_ref, color_ref, opac_ref, valid_ref, bg_ref,
     px = tile_x + (lin % TILE)
     py = tile_y + (lin // TILE)
 
-    nchunk = k // chunk
+    # dynamic bound: only occupied chunks are processed (empty background
+    # tiles cost one branch instead of k/chunk iterations — the TPU
+    # equivalent of renderCUDA's per-tile range, forward.cu:290-292).
+    # count_ref is a scalar-prefetch arg: the full [T] array in SMEM.
+    count = jnp.minimum(count_ref[pl.program_id(0)], k)
+    nchunk = (count + chunk - 1) // chunk
 
     def body(i, carry):
         t_carry, accum = carry
@@ -227,8 +232,8 @@ def _fwd_kernel(mean_ref, conic_ref, color_ref, opac_ref, valid_ref, bg_ref,
     tfin_ref[0] = t_final                         # block [1, 1, P]
 
 
-def _bwd_kernel(mean_ref, conic_ref, color_ref, opac_ref, valid_ref, bg_ref,
-                img_ref, tfin_ref, gimg_ref, gtfin_ref,
+def _bwd_kernel(count_ref, mean_ref, conic_ref, color_ref, opac_ref, valid_ref,
+                bg_ref, img_ref, tfin_ref, gimg_ref, gtfin_ref,
                 gmean_ref, gconic_ref, gcolor_ref, gopac_ref,
                 *, grid_x: int, k: int, chunk: int):
     t = pl.program_id(0)
@@ -238,7 +243,14 @@ def _bwd_kernel(mean_ref, conic_ref, color_ref, opac_ref, valid_ref, bg_ref,
     px = tile_x + (lin % TILE)
     py = tile_y + (lin // TILE)
 
-    nchunk = k // chunk
+    # grad outputs must be fully defined: zero them before the bounded loop
+    gmean_ref[0, :, :] = jnp.zeros((k, 2), jnp.float32)
+    gconic_ref[0, :, :] = jnp.zeros((k, 3), jnp.float32)
+    gcolor_ref[0, :, :] = jnp.zeros((k, 3), jnp.float32)
+    gopac_ref[0, :, :] = jnp.zeros((k, 1), jnp.float32)
+
+    count = jnp.minimum(count_ref[pl.program_id(0)], k)
+    nchunk = (count + chunk - 1) // chunk
     img = img_ref[0]                # [3, P] forward output (residual)
     t_n = tfin_ref[0]               # [1, P] (block [1, 1, P])
     g_img = gimg_ref[0]             # [3, P]
@@ -323,57 +335,72 @@ def _bwd_kernel(mean_ref, conic_ref, color_ref, opac_ref, valid_ref, bg_ref,
     # bg's gradient is computed outside the kernel from (g_img, t_final)
 
 
-def _pallas_call_fwd(mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
-                     grid, chunk, interpret):
+def _pallas_call_fwd(counts, mean2d_t, conic_t, color_t, opacity_t, valid_t,
+                     bg, grid, chunk, interpret):
     ty, tx = grid
     T = ty * tx
     K = mean2d_t.shape[1]
     assert K % chunk == 0, f"K={K} must be a multiple of chunk={chunk}"
     kern = functools.partial(_fwd_kernel, grid_x=tx, k=K, chunk=chunk)
-    spec = lambda d: pl.BlockSpec((1, K, d), lambda t: (t, 0, 0),
+    # index maps receive (grid_idx, scalar_prefetch_ref)
+    spec = lambda d: pl.BlockSpec((1, K, d), lambda t, s: (t, 0, 0),
                                   memory_space=pltpu.VMEM)
-    img, tfin3 = pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
             spec(2), spec(3), spec(3), spec(1), spec(1),
-            pl.BlockSpec((1, 3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda t, s: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, P), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
+    )
+    img, tfin3 = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, 3, P), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
         ],
         interpret=interpret,
-    )(mean2d_t, conic_t, color_t,
+    )(counts.astype(jnp.int32),
+      mean2d_t, conic_t, color_t,
       opacity_t[..., None], valid_t.astype(jnp.float32)[..., None],
       bg.reshape(1, 3))
     return img, tfin3[:, 0, :]
 
 
-def _pallas_call_bwd(mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
-                     img_tiles, t_final, g_img, g_tfin, grid, chunk, interpret):
+def _pallas_call_bwd(counts, mean2d_t, conic_t, color_t, opacity_t, valid_t,
+                     bg, img_tiles, t_final, g_img, g_tfin, grid, chunk,
+                     interpret):
     ty, tx = grid
     T = ty * tx
     K = mean2d_t.shape[1]
     assert K % chunk == 0
     kern = functools.partial(_bwd_kernel, grid_x=tx, k=K, chunk=chunk)
-    spec = lambda d: pl.BlockSpec((1, K, d), lambda t: (t, 0, 0),
+    spec = lambda d: pl.BlockSpec((1, K, d), lambda t, s: (t, 0, 0),
                                   memory_space=pltpu.VMEM)
-    tile3 = pl.BlockSpec((1, 3, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
-    tile1 = pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
-    gmean, gconic, gcolor, gopac = pl.pallas_call(
-        kern,
+    tile3 = pl.BlockSpec((1, 3, P), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((1, 1, P), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
             spec(2), spec(3), spec(3), spec(1), spec(1),
-            pl.BlockSpec((1, 3), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda t, s: (0, 0), memory_space=pltpu.VMEM),
             tile3, tile1, tile3, tile1,
         ],
         out_specs=[spec(2), spec(3), spec(3), spec(1)],
+    )
+    gmean, gconic, gcolor, gopac = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, K, 2), jnp.float32),
             jax.ShapeDtypeStruct((T, K, 3), jnp.float32),
@@ -381,46 +408,49 @@ def _pallas_call_bwd(mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
             jax.ShapeDtypeStruct((T, K, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(mean2d_t, conic_t, color_t,
+    )(counts.astype(jnp.int32),
+      mean2d_t, conic_t, color_t,
       opacity_t[..., None], valid_t.astype(jnp.float32)[..., None],
       bg.reshape(1, 3), img_tiles, t_final[:, None, :],
       g_img, g_tfin[:, None, :])
     return gmean, gconic, gcolor, gopac[..., 0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def blend_tiles_pallas(mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
-                       grid, chunk=64, interpret=False):
-    """Pallas tile blend. Returns (img_tiles [T,3,P], t_final [T,P])."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def blend_tiles_pallas(mean2d_t, conic_t, color_t, opacity_t, valid_t, counts,
+                       bg, grid, chunk=64, interpret=False):
+    """Pallas tile blend. ``counts`` [T] bounds the per-tile work.
+    Returns (img_tiles [T,3,P], t_final [T,P])."""
     img, tfin = _pallas_call_fwd(
-        mean2d_t, conic_t, color_t, opacity_t, valid_t, bg, grid, chunk,
-        interpret,
+        counts, mean2d_t, conic_t, color_t, opacity_t, valid_t, bg, grid,
+        chunk, interpret,
     )
     return img, tfin
 
 
-def _blend_fwd(mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
+def _blend_fwd(mean2d_t, conic_t, color_t, opacity_t, valid_t, counts, bg,
                grid, chunk, interpret):
     img, tfin = _pallas_call_fwd(
-        mean2d_t, conic_t, color_t, opacity_t, valid_t, bg, grid, chunk,
-        interpret,
+        counts, mean2d_t, conic_t, color_t, opacity_t, valid_t, bg, grid,
+        chunk, interpret,
     )
-    return (img, tfin), (mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
-                         img, tfin)
+    return (img, tfin), (mean2d_t, conic_t, color_t, opacity_t, valid_t,
+                         counts, bg, img, tfin)
 
 
 def _blend_bwd(grid, chunk, interpret, res, grads):
-    (mean2d_t, conic_t, color_t, opacity_t, valid_t, bg, img, tfin) = res
+    (mean2d_t, conic_t, color_t, opacity_t, valid_t, counts, bg,
+     img, tfin) = res
     g_img, g_tfin = grads
     # The image's dependence on t_final (via the bg composite) is already
     # captured inside the kernel through S_j = img - prefix_j, so only the
     # direct cotangent on the t_final output is forwarded.
     g_bg = jnp.einsum("tdp,tp->d", g_img, tfin)
     gmean, gconic, gcolor, gopac = _pallas_call_bwd(
-        mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
+        counts, mean2d_t, conic_t, color_t, opacity_t, valid_t, bg,
         img, tfin, g_img, g_tfin, grid, chunk, interpret,
     )
-    return gmean, gconic, gcolor, gopac, None, g_bg
+    return gmean, gconic, gcolor, gopac, None, None, g_bg
 
 
 blend_tiles_pallas.defvjp(_blend_fwd, _blend_bwd)

@@ -37,10 +37,11 @@ from fateavatar_tpu.render.splats import Gaussians
 @struct.dataclass
 class RenderConfig:
     max_per_tile: int = struct.field(pytree_node=False, default=1024)
-    max_tiles_per_gaussian: int = struct.field(pytree_node=False, default=32)
-    instance_budget: int = struct.field(pytree_node=False, default=0)  # 0 = 8N
+    max_tiles_per_gaussian: int = struct.field(pytree_node=False, default=16)
+    instance_budget: int = struct.field(pytree_node=False, default=0)  # 0 = 6N
     chunk: int = struct.field(pytree_node=False, default=64)
     impl: str = struct.field(pytree_node=False, default="auto")  # auto|pallas|xla
+    binning: str = struct.field(pytree_node=False, default="sort")  # sort|scan
 
     def resolve_impl(self) -> str:
         if self.impl != "auto":
@@ -87,15 +88,25 @@ def render(
         mean2d = mean2d + means2d_probe
 
     grid = binning.tile_grid(camera.width, camera.height)
-    lists = binning.build_tile_lists(
-        jax.lax.stop_gradient(mean2d),
-        jax.lax.stop_gradient(prep.depth),
-        prep.radius,
-        grid,
-        max_per_tile=config.max_per_tile,
-        max_tiles_per_gaussian=config.max_tiles_per_gaussian,
-        instance_budget=config.instance_budget,
-    )
+    if config.binning == "scan":
+        lists = binning.build_tile_lists_scan(
+            jax.lax.stop_gradient(mean2d),
+            jax.lax.stop_gradient(prep.depth),
+            prep.radius,
+            grid,
+            max_per_tile=config.max_per_tile,
+            max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+        )
+    else:
+        lists = binning.build_tile_lists(
+            jax.lax.stop_gradient(mean2d),
+            jax.lax.stop_gradient(prep.depth),
+            prep.radius,
+            grid,
+            max_per_tile=config.max_per_tile,
+            max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+            instance_budget=config.instance_budget,
+        )
 
     # Per-tile gather: ONE packed gather (HBM-bound step — packing the nine
     # channels into a single [N, 9] array keeps it a single coalesced pass);
@@ -115,7 +126,7 @@ def render(
     if impl == "pallas" or impl == "pallas_interpret":
         img_tiles, t_final = blend_tiles_pallas(
             mean2d_t, conic_t, color_t, opacity_t,
-            valid.astype(jnp.float32), bg_color,
+            valid.astype(jnp.float32), lists.counts, bg_color,
             grid, config.chunk, impl == "pallas_interpret",
         )
     else:

@@ -290,14 +290,19 @@ class GaussianAvatarsLoss:
             loss = loss + v * cfg.dssim_weight
         alive = model_out["alive"].astype(pred.dtype)
         denom = jnp.maximum(jnp.sum(alive), 1.0)
+
+        def safe_norm(x, axis):
+            # sqrt has a NaN gradient at exactly 0 (and xyz IS 0 at init)
+            return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-12)
+
         if cfg.scale_weight > 0:
             reg = jax.nn.relu(model_out["scale"] - cfg.threshold_scale)
-            v = jnp.sum(jnp.linalg.norm(reg, axis=1) * alive) / denom
+            v = jnp.sum(safe_norm(reg, 1) * alive) / denom
             out["scale_loss"] = v
             loss = loss + v * cfg.scale_weight
         if cfg.xyz_weight > 0:
             reg = jax.nn.relu(
-                jnp.linalg.norm(model_out["xyz"], axis=1) - cfg.threshold_xyz
+                safe_norm(model_out["xyz"], 1) - cfg.threshold_xyz
             )
             v = jnp.sum(reg * alive) / denom
             out["xyz_loss"] = v

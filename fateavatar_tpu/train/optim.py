@@ -57,13 +57,17 @@ class MultiAdam:
         return updates, MultiAdamState(mu=mu, nu=nu, count=count)
 
     def _expand_lrs(self, params):
-        """lr_tree may be a dict keyed by dataclass field name, or any pytree
-        matching the params structure."""
+        """lr_tree may be a dict keyed by dataclass field name (each field's
+        lr is broadcast over that field's subtree — fields may themselves be
+        parameter pytrees, e.g. a flax MLP), or any pytree matching params."""
         if isinstance(self.lr_tree, dict):
-            return params.replace(**{
-                name: self.lr_tree.get(name, 0.0)
-                for name in params.__dataclass_fields__
-            })
+            updates = {}
+            for name in params.__dataclass_fields__:
+                lr = self.lr_tree.get(name, 0.0)
+                updates[name] = jax.tree.map(
+                    lambda _: lr, getattr(params, name)
+                )
+            return params.replace(**updates)
         return self.lr_tree
 
 

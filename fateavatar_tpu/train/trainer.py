@@ -326,7 +326,10 @@ class Trainer:
 
     def save_snapshot(self, sample: dict):
         """Multi-panel snapshot (train/trainer.py:474-538): pred / gt /
-        L1-heat / canonical / grad-heat / sampled-points."""
+        FLAME-mesh overlay / L1-heat / canonical / grad-heat /
+        sampled-points (the mesh overlay replaces the nvdiffrast panel)."""
+        from fateavatar_tpu.render.mesh_render import overlay_mesh
+
         tables = self.train_tables if self.tracking_enabled else None
         frame = self._make_frame(sample, tables)
         vis = fateavatar_visualization(
@@ -338,13 +341,16 @@ class Trainer:
         gt = np.asarray(frame.rgb)
         l1 = np.abs(pred - gt).mean(-1, keepdims=True)
         heat = np.concatenate([l1, np.zeros_like(l1), 1.0 - l1], axis=-1)
+        mesh_panel = np.asarray(overlay_mesh(
+            frame.rgb, vis["verts"][0], self.model.faces, frame.camera
+        ))
         save_image_grid(
             os.path.join(
                 self.media_dirs["snapshots"], f"step{self.global_step:08d}.png"
             ),
-            [pred, gt, heat, np.asarray(vis["cano_image"]),
+            [pred, gt, mesh_panel, heat, np.asarray(vis["cano_image"]),
              np.asarray(vis["grad_image"]), np.asarray(vis["point_image"])],
-            cols=3,
+            cols=4,
         )
 
     def checkpoint_tree(self):

@@ -5,10 +5,13 @@ Breaks the render into preprocess / binning / gather / blend fwd / full fwd /
 fwd+bwd and prints ms per stage — the measurement loop for kernel tuning.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -61,7 +64,15 @@ def main():
         print(f"binning (R={R:3d}):  {1e3*t:8.2f} ms  overflow={int(lists.overflow)} "
               f"max_count={int(jnp.max(lists.counts))}")
 
-    lists = jax.jit(lambda p: binning.build_tile_lists(
+    for R in (16, 32):
+        scan_fn = jax.jit(lambda p: binning.build_tile_lists_scan(
+            p.mean2d, p.depth, p.radius, grid,
+            max_per_tile=cfg.max_per_tile, max_tiles_per_gaussian=R))
+        lists = scan_fn(prep)
+        t = time_fn(scan_fn, prep)
+        print(f"binning scan R={R:2d}: {1e3*t:8.2f} ms  overflow={int(lists.overflow)}")
+
+    lists = jax.jit(lambda p: binning.build_tile_lists_scan(
         p.mean2d, p.depth, p.radius, grid,
         max_per_tile=cfg.max_per_tile,
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian))(prep)
@@ -76,9 +87,10 @@ def main():
     print(f"gather:            {1e3*time_fn(gather_fn, prep, lists.ids):8.2f} ms")
 
     valid = (lists.ids >= 0).astype(jnp.float32)
+    counts = lists.counts
     if backend == "tpu":
         blend_fn = jax.jit(lambda m, c, cl, o: blend_tiles_pallas(
-            m, c, cl, o, valid, bg, grid, cfg.chunk, False))
+            m, c, cl, o, valid, counts, bg, grid, cfg.chunk, False))
     else:
         blend_fn = jax.jit(lambda m, c, cl, o: blend_tiles_xla(
             m, c, cl, o, valid > 0, bg, grid, chunk=cfg.chunk))

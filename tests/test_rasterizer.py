@@ -141,6 +141,40 @@ class TestBinning:
             got = [x for x in np.asarray(lists.ids[t]) if x >= 0]
             assert got == expected, f"tile {t}"
 
+    def test_scan_binning_matches_sort_binning(self):
+        """The sort-free scan binning must produce IDENTICAL per-tile lists
+        to the sort-based reference implementation."""
+        cam, g, bg = make_scene(120, seed=12)
+        prep = run_preprocess(cam, g)
+        grid = binning.tile_grid(W, H)
+        a = binning.build_tile_lists(
+            prep.mean2d, prep.depth, prep.radius, grid,
+            max_per_tile=64, max_tiles_per_gaussian=36,
+            instance_budget=120 * 36,
+        )
+        b = binning.build_tile_lists_scan(
+            prep.mean2d, prep.depth, prep.radius, grid,
+            max_per_tile=64, max_tiles_per_gaussian=36, block=32,
+        )
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+        assert int(a.overflow) == int(b.overflow)
+
+    def test_scan_binning_with_dead_gaussians(self):
+        cam, g, bg = make_scene(64, seed=13)
+        g = g.replace(alive=g.alive.at[32:].set(False))
+        prep = run_preprocess(cam, g)
+        grid = binning.tile_grid(W, H)
+        a = binning.build_tile_lists(
+            prep.mean2d, prep.depth, prep.radius, grid, max_per_tile=64,
+            max_tiles_per_gaussian=36, instance_budget=64 * 36,
+        )
+        b = binning.build_tile_lists_scan(
+            prep.mean2d, prep.depth, prep.radius, grid, max_per_tile=64,
+            max_tiles_per_gaussian=36, block=16,
+        )
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+
     def test_overflow_counting(self):
         cam, g, bg = make_scene(50, seed=2)
         prep = run_preprocess(cam, g)
@@ -182,9 +216,10 @@ class TestTileBlend:
         )
         tiles = gather_tiles(prep, lists)
         ref_tiles, ref_tfin = blend_tiles_xla(*tiles, bg, grid, chunk=32)
+        counts = jnp.sum(tiles[4], axis=1).astype(jnp.int32)
         got_tiles, got_tfin = blend_tiles_pallas(
             tiles[0], tiles[1], tiles[2], tiles[3],
-            tiles[4].astype(jnp.float32), bg, grid, 32, True,
+            tiles[4].astype(jnp.float32), counts, bg, grid, 32, True,
         )
         np.testing.assert_allclose(
             np.asarray(got_tiles), np.asarray(ref_tiles), atol=2e-5
@@ -209,9 +244,12 @@ class TestTileBlend:
             img, tfin = blend_tiles_xla(m, c, cl, op, valid, b, grid, chunk=32)
             return jnp.sum(img * g_img) + jnp.sum(tfin * g_tfin)
 
+        counts = jnp.sum(valid, axis=1).astype(jnp.int32)
+
         def loss_pallas(m, c, cl, op, b):
             img, tfin = blend_tiles_pallas(
-                m, c, cl, op, valid.astype(jnp.float32), b, grid, 32, True
+                m, c, cl, op, valid.astype(jnp.float32), counts, b,
+                grid, 32, True
             )
             return jnp.sum(img * g_img) + jnp.sum(tfin * g_tfin)
 
