@@ -41,6 +41,17 @@ class TileLists(NamedTuple):
     grid: tuple           # (tiles_y, tiles_x) static
 
 
+class InstanceLists(NamedTuple):
+    """Flat depth-sorted instance representation (the CUDA layout:
+    rasterizer_impl.cu's point_list + per-tile ranges) — no per-tile cap."""
+
+    instances: jax.Array    # [M] int32 gaussian index per instance (tile-major,
+                            #     depth-ordered within tile; sentinel rows = -1)
+    tile_starts: jax.Array  # [num_tiles + 1] int32 range offsets
+    overflow: jax.Array     # [] int32 instances dropped (budget/R caps)
+    grid: tuple
+
+
 def tile_grid(width: int, height: int) -> tuple:
     return ((height + TILE - 1) // TILE, (width + TILE - 1) // TILE)
 
@@ -152,6 +163,95 @@ def build_tile_lists(
     overflow = jnp.sum(jnp.maximum(counts - max_per_tile, 0)) + dropped_tiles
 
     return TileLists(ids=ids, counts=counts, overflow=overflow, grid=grid)
+
+
+@partial(jax.jit, static_argnames=(
+    "grid", "max_tiles_per_gaussian", "instance_budget", "chunk"))
+def build_instance_lists(
+    mean2d: jax.Array,
+    depth: jax.Array,
+    radius: jax.Array,
+    grid: tuple,
+    max_tiles_per_gaussian: int = 16,
+    instance_budget: int = 0,
+    chunk: int = 64,
+) -> InstanceLists:
+    """Flat instance binning for the instance-range blend kernel: the same
+    depth-sort + candidate expansion + compaction + stable tile sort as
+    :func:`build_tile_lists`, but returning the sorted instance array and
+    per-tile [start, end) offsets instead of a capped [T, K] matrix —
+    exactly the CUDA pipeline's ``point_list`` + ``ranges``
+    (rasterizer_impl.cu:303-338).
+
+    Each tile's range is padded to a multiple of ``chunk`` (sentinel id -1)
+    so the kernel's fixed-size DMAs never cross tile boundaries. Output
+    length is the static ``M + num_tiles * chunk``.
+    """
+    n = mean2d.shape[0]
+    ty, tx = grid
+    num_tiles = ty * tx
+    R = max_tiles_per_gaussian
+    M = instance_budget or min(6 * n, n * R)
+    M_out = M + num_tiles * chunk
+
+    visible = radius > 0
+    order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
+    mean2d_s = mean2d[order]
+    radius_s = radius[order]
+    visible_s = visible[order]
+
+    rmin_x, rmin_y, rmax_x, rmax_y = gaussian_rect(mean2d_s, radius_s, grid)
+    rect_w = jnp.maximum(rmax_x - rmin_x, 1)
+    n_tiles_touched = jnp.where(visible_s, rect_w * (rmax_y - rmin_y), 0)
+    dropped = jnp.sum(jnp.maximum(n_tiles_touched - R, 0))
+
+    r_lin = jnp.arange(R, dtype=jnp.int32)[None, :]
+    cand_x = rmin_x[:, None] + r_lin % rect_w[:, None]
+    cand_y = rmin_y[:, None] + r_lin // rect_w[:, None]
+    valid = (r_lin < n_tiles_touched[:, None])
+    tile_id = jnp.where(valid, cand_y * tx + cand_x, num_tiles)
+
+    flat_valid = valid.reshape(-1)
+    flat_tiles = tile_id.reshape(-1)
+    gauss_idx = jnp.broadcast_to(order[:, None], tile_id.shape).reshape(-1)
+    pos = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+    dest = jnp.where(flat_valid & (pos < M), pos, M)
+    comp_tiles = jnp.full((M + 1,), num_tiles, jnp.int32).at[dest].set(
+        flat_tiles.astype(jnp.int32), mode="drop")[:M]
+    comp_gauss = jnp.full((M + 1,), -1, jnp.int32).at[dest].set(
+        gauss_idx.astype(jnp.int32), mode="drop")[:M]
+    n_valid = jnp.sum(flat_valid)
+    dropped = dropped + jnp.maximum(n_valid - M, 0)
+
+    sort_tiles, sort_gauss = jax.lax.sort(
+        (comp_tiles, comp_gauss), num_keys=1, is_stable=True
+    )
+    raw_starts = jnp.searchsorted(
+        sort_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = raw_starts[1:] - raw_starts[:-1]
+
+    # chunk-aligned re-layout
+    padded = ((counts + chunk - 1) // chunk) * chunk
+    aligned_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+    )
+    idx = jnp.arange(M, dtype=jnp.int32)
+    tile_of = jnp.clip(sort_tiles, 0, num_tiles)
+    rank = idx - raw_starts[jnp.clip(tile_of, 0, num_tiles - 1)]
+    in_range = sort_tiles < num_tiles
+    dst = jnp.where(
+        in_range, aligned_starts[jnp.clip(tile_of, 0, num_tiles - 1)] + rank,
+        M_out,
+    )
+    instances = jnp.full((M_out + 1,), -1, jnp.int32).at[dst].set(
+        sort_gauss, mode="drop")[:M_out]
+
+    return InstanceLists(
+        instances=instances,
+        tile_starts=aligned_starts,
+        overflow=dropped, grid=grid,
+    )
 
 
 @partial(jax.jit, static_argnames=(

@@ -1,0 +1,343 @@
+"""Instance-range tile blend: the CUDA-layout Pallas kernel.
+
+Where blend_tiles.py consumes dense [T, K] per-tile matrices (simple, but
+pays for the K cap in gather/scatter volume and imposes a per-tile limit),
+this kernel walks the FLAT depth-sorted instance array with per-tile
+[start, end) ranges — the exact data layout of ``renderCUDA``
+(rasterizer_impl.cu point_list + ranges; forward.cu:289-306 batched
+shared-memory fetch becomes a double-buffered HBM->VMEM DMA pipeline).
+
+* no per-tile cap: every binned instance is blended,
+* instance data is DMA'd in fixed CHUNK=128 instance slices (tile ranges
+  are chunk-aligned by build_instance_lists so DMAs never straddle tiles;
+  128 satisfies Mosaic's lane-aligned HBM slicing),
+* data lives TRANSPOSED as [16, M] so the sliced dimension is the 128-lane
+  axis; one (16, 128) -> (128, 16) in-kernel transpose puts instances on
+  sublanes for the blend math,
+* backward recomputes forward per chunk and DMAs per-instance gradients
+  back out; XLA's gather transpose scatter-adds them onto the Gaussians.
+
+Channel layout (rows of the [16, M] array):
+  0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c,
+  5 color_r, 6 color_g, 7 color_b, 8 opacity, 9 valid, 10..15 zero pad.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fateavatar_tpu.render.binning import TILE
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+P = TILE * TILE
+ROW = 16
+CHUNK = 128  # instances per DMA; lane-aligned
+
+
+def _chunk_math(data, px, py):
+    """Per-chunk alpha math. data [CHUNK, 16] (instances on sublanes)."""
+    dx = data[:, 0:1] - px
+    dy = data[:, 1:2] - py
+    a = data[:, 2:3]
+    b = data[:, 3:4]
+    c = data[:, 4:5]
+    op = data[:, 8:9]
+    vl = data[:, 9:10]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    exp_power = jnp.exp(jnp.minimum(power, 0.0))
+    raw = op * exp_power
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & (vl > 0)
+    alpha = jnp.where(keep, alpha, 0.0)
+    return alpha, raw, keep, dx, dy, (a, b, c), exp_power
+
+
+def _cumprod_sublanes(x):
+    c = x.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < c:
+        rolled = pltpu.roll(x, shift, axis=0)
+        x = x * jnp.where(rows >= shift, rolled, 1.0)
+        shift *= 2
+    return x
+
+
+def _cumsum_sublanes(x):
+    c = x.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < c:
+        rolled = pltpu.roll(x, shift, axis=0)
+        x = x + jnp.where(rows >= shift, rolled, 0.0)
+        shift *= 2
+    return x
+
+
+def _pixels(grid_x, t):
+    tile_x = (t % grid_x).astype(jnp.float32) * TILE
+    tile_y = (t // grid_x).astype(jnp.float32) * TILE
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1).astype(jnp.float32)
+    return tile_x + (lin % TILE), tile_y + (lin // TILE)
+
+
+def _fwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
+                scratch, sems, *, grid_x: int):
+    t = pl.program_id(0)
+    px, py = _pixels(grid_x, t)
+    s = starts_ref[t]
+    nchunk = (starts_ref[t + 1] - s) // CHUNK
+
+    def get_dma(slot, i):
+        off = pl.multiple_of(s + i * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(off, CHUNK)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunk > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(i, carry):
+        t_carry, acc_r, acc_g, acc_b = carry
+        slot = i % 2
+
+        @pl.when(i + 1 < nchunk)
+        def _():
+            get_dma((i + 1) % 2, i + 1).start()
+
+        get_dma(slot, i).wait()
+        data = scratch[slot].T                      # [CHUNK, 16]
+        alpha, _, _, _, _, _, _ = _chunk_math(data, px, py)
+        om = 1.0 - alpha
+        t_incl = _cumprod_sublanes(om)
+        t_excl = t_incl / om
+        w = alpha * t_excl * t_carry
+        acc_r = acc_r + jnp.sum(w * data[:, 5:6], axis=0, keepdims=True)
+        acc_g = acc_g + jnp.sum(w * data[:, 6:7], axis=0, keepdims=True)
+        acc_b = acc_b + jnp.sum(w * data[:, 7:8], axis=0, keepdims=True)
+        t_carry = t_carry * t_incl[CHUNK - 1 : CHUNK, :]
+        return t_carry, acc_r, acc_g, acc_b
+
+    init = (jnp.ones((1, P), jnp.float32),) + tuple(
+        jnp.zeros((1, P), jnp.float32) for _ in range(3)
+    )
+    t_final, ar, ag, ab = jax.lax.fori_loop(0, nchunk, body, init)
+    bg = bg_ref[0]
+    img_ref[0, 0:1, :] = ar + t_final * bg[0]
+    img_ref[0, 1:2, :] = ag + t_final * bg[1]
+    img_ref[0, 2:3, :] = ab + t_final * bg[2]
+    tfin_ref[0] = t_final
+
+
+def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
+                gimg_ref, gtfin_ref, gout_ref,
+                scratch, out_scratch, sems, out_sem,
+                *, grid_x: int):
+    t = pl.program_id(0)
+    px, py = _pixels(grid_x, t)
+    s = starts_ref[t]
+    nchunk = (starts_ref[t + 1] - s) // CHUNK
+
+    img = img_ref[0]
+    t_n = tfin_ref[0]              # [1, P]
+    g_img = gimg_ref[0]
+    g_tfin = gtfin_ref[0]
+
+    def get_dma(slot, i):
+        off = pl.multiple_of(s + i * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(off, CHUNK)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nchunk > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(i, carry):
+        t_carry, pr, pg, pb = carry
+        slot = i % 2
+
+        @pl.when(i + 1 < nchunk)
+        def _():
+            get_dma((i + 1) % 2, i + 1).start()
+
+        get_dma(slot, i).wait()
+        data = scratch[slot].T                      # [CHUNK, 16]
+        alpha, raw, keep, dx, dy, (ca, cb, cc), exp_power = _chunk_math(
+            data, px, py
+        )
+        om = 1.0 - alpha
+        t_incl = _cumprod_sublanes(om)
+        t_excl = t_incl / om
+        t_j = t_excl * t_carry
+        w = alpha * t_j
+
+        cl_r = data[:, 5:6]
+        cl_g = data[:, 6:7]
+        cl_b = data[:, 7:8]
+
+        pr = pr + _cumsum_sublanes(w * cl_r)
+        pg = pg + _cumsum_sublanes(w * cl_g)
+        pb = pb + _cumsum_sublanes(w * cl_b)
+
+        s_r = img[0:1] - pr
+        s_g = img[1:2] - pg
+        s_b = img[2:3] - pb
+
+        inv_om = 1.0 / om
+        dalpha = (
+            g_img[0:1] * (t_j * cl_r - s_r * inv_om)
+            + g_img[1:2] * (t_j * cl_g - s_g * inv_om)
+            + g_img[2:3] * (t_j * cl_b - s_b * inv_om)
+            - g_tfin * t_n * inv_om
+        )
+        dalpha = jnp.where(keep, dalpha, 0.0)
+
+        not_clamped = raw < ALPHA_MAX
+        g_power = jnp.where(not_clamped, dalpha * alpha, 0.0)
+        g_op = jnp.sum(
+            jnp.where(not_clamped, dalpha * exp_power, 0.0),
+            axis=1, keepdims=True,
+        )
+
+        grows = jnp.concatenate([
+            jnp.sum(g_power * (-ca * dx - cb * dy), axis=1, keepdims=True),
+            jnp.sum(g_power * (-cc * dy - cb * dx), axis=1, keepdims=True),
+            jnp.sum(g_power * (-0.5 * dx * dx), axis=1, keepdims=True),
+            jnp.sum(g_power * (-dx * dy), axis=1, keepdims=True),
+            jnp.sum(g_power * (-0.5 * dy * dy), axis=1, keepdims=True),
+            jnp.sum(w * g_img[0:1], axis=1, keepdims=True),
+            jnp.sum(w * g_img[1:2], axis=1, keepdims=True),
+            jnp.sum(w * g_img[2:3], axis=1, keepdims=True),
+            g_op,
+            jnp.zeros((CHUNK, ROW - 9), jnp.float32),
+        ], axis=1)                                   # [CHUNK, 16]
+        out_scratch[0] = grows.T                     # [16, CHUNK]
+        out_off = pl.multiple_of(s + i * CHUNK, CHUNK)
+        out_dma = pltpu.make_async_copy(
+            out_scratch.at[0],
+            gout_ref.at[:, pl.ds(out_off, CHUNK)],
+            out_sem,
+        )
+        out_dma.start()
+        out_dma.wait()
+
+        t_carry = t_carry * t_incl[CHUNK - 1 : CHUNK, :]
+        return (t_carry, pr[CHUNK - 1 : CHUNK], pg[CHUNK - 1 : CHUNK],
+                pb[CHUNK - 1 : CHUNK])
+
+    init = (jnp.ones((1, P), jnp.float32),) + tuple(
+        jnp.zeros((1, P), jnp.float32) for _ in range(3)
+    )
+    jax.lax.fori_loop(0, nchunk, body, init)
+
+
+def _call_fwd(inst_data, tile_starts, bg, grid, interpret):
+    ty, tx = grid
+    T = ty * tx
+    kern = functools.partial(_fwd_kernel, grid_x=tx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # [16, M] stays in HBM
+            pl.BlockSpec((1, 3), lambda t, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, P), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    img, tfin = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 3, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_starts.astype(jnp.int32), inst_data, bg.reshape(1, 3))
+    return img, tfin[:, 0, :]
+
+
+def _call_bwd(inst_data, tile_starts, bg, img_tiles, t_final, g_img, g_tfin,
+              grid, interpret):
+    ty, tx = grid
+    T = ty * tx
+    M = inst_data.shape[1]
+    kern = functools.partial(_bwd_kernel, grid_x=tx)
+    tile3 = pl.BlockSpec((1, 3, P), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((1, 1, P), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 3), lambda t, s: (0, 0), memory_space=pltpu.VMEM),
+            tile3, tile1, tile3, tile1,
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
+            pltpu.VMEM((1, ROW, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    (gout,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ROW, M), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_starts.astype(jnp.int32), inst_data, bg.reshape(1, 3),
+      img_tiles, t_final[:, None, :], g_img, g_tfin[:, None, :])
+    # columns past the last aligned range are never written by any tile
+    total = tile_starts[-1]
+    col_ids = jnp.arange(M, dtype=jnp.int32)[None, :]
+    return jnp.where(col_ids < total, gout, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def blend_instances_pallas(inst_data, tile_starts, bg, grid, interpret=False):
+    """Instance-range blend. inst_data [16, M] (see module docstring),
+    tile_starts [T+1] CHUNK-aligned. Returns (img_tiles [T,3,P],
+    t_final [T,P])."""
+    return _call_fwd(inst_data, tile_starts, bg, grid, interpret)
+
+
+def _vjp_fwd(inst_data, tile_starts, bg, grid, interpret):
+    img, tfin = _call_fwd(inst_data, tile_starts, bg, grid, interpret)
+    return (img, tfin), (inst_data, tile_starts, bg, img, tfin)
+
+
+def _vjp_bwd(grid, interpret, res, grads):
+    inst_data, tile_starts, bg, img, tfin = res
+    g_img, g_tfin = grads
+    g_bg = jnp.einsum("tdp,tp->d", g_img, tfin)
+    g_inst = _call_bwd(
+        inst_data, tile_starts, bg, img, tfin, g_img, g_tfin, grid, interpret,
+    )
+    return g_inst, None, g_bg
+
+
+blend_instances_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -42,6 +42,9 @@ class RenderConfig:
     chunk: int = struct.field(pytree_node=False, default=64)
     impl: str = struct.field(pytree_node=False, default="auto")  # auto|pallas|xla
     binning: str = struct.field(pytree_node=False, default="sort")  # sort|scan
+    # pallas kernel flavour: 'instances' = CUDA-layout flat ranges (no per-
+    # tile cap, less data movement); 'tiles' = dense [T, K] lists
+    kernel: str = struct.field(pytree_node=False, default="instances")
 
     def resolve_impl(self) -> str:
         if self.impl != "auto":
@@ -88,6 +91,52 @@ def render(
         mean2d = mean2d + means2d_probe
 
     grid = binning.tile_grid(camera.width, camera.height)
+    impl = config.resolve_impl()
+
+    if impl in ("pallas", "pallas_interpret") and config.kernel == "instances":
+        from fateavatar_tpu.render.blend_instances import (
+            CHUNK as INST_CHUNK,
+            blend_instances_pallas,
+        )
+
+        ilists = binning.build_instance_lists(
+            jax.lax.stop_gradient(mean2d),
+            jax.lax.stop_gradient(prep.depth),
+            prep.radius, grid,
+            max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+            instance_budget=config.instance_budget,
+            chunk=INST_CHUNK,
+        )
+        n = mean2d.shape[0]
+        packed = jnp.concatenate([
+            mean2d, prep.conic, prep.color, prep.opacity[:, None],
+            jnp.ones((n, 1), jnp.float32), jnp.zeros((n, 6), jnp.float32),
+        ], axis=-1)
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((1, 16), jnp.float32)], axis=0
+        )  # sentinel row (valid = 0)
+        ids = jnp.where(ilists.instances >= 0, ilists.instances, n)
+        inst_data = jnp.take(packed, ids, axis=0).T   # [16, M]
+        img_tiles, t_final = blend_instances_pallas(
+            inst_data, ilists.tile_starts, bg_color, grid,
+            impl == "pallas_interpret",
+        )
+        image = tiles_to_image(img_tiles, grid, camera.width, camera.height)
+        t_img = tiles_to_image(
+            jnp.repeat(t_final[:, None, :], 3, axis=1), grid,
+            camera.width, camera.height,
+        )[..., 0]
+        counts = ilists.tile_starts[1:] - ilists.tile_starts[:-1]
+        return {
+            "render": image,
+            "viewspace_points": mean2d,
+            "visibility_filter": prep.visible,
+            "radii": prep.radius,
+            "t_final": t_img,
+            "overflow": ilists.overflow,
+            "tile_counts": counts,
+        }
+
     if config.binning == "scan":
         lists = binning.build_tile_lists_scan(
             jax.lax.stop_gradient(mean2d),
@@ -122,7 +171,6 @@ def render(
     color_t = packed_t[..., 5:8]
     opacity_t = packed_t[..., 8]
 
-    impl = config.resolve_impl()
     if impl == "pallas" or impl == "pallas_interpret":
         img_tiles, t_final = blend_tiles_pallas(
             mean2d_t, conic_t, color_t, opacity_t,

@@ -177,10 +177,28 @@ class Trainer:
         t0 = time.perf_counter()
         tables = self.train_tables if self.tracking_enabled else None
 
+        # Device-side aux values are collected and fetched in batches so the
+        # host never serializes the dispatch pipeline (the reference syncs on
+        # loss.item() every step, train/trainer.py:191-200 — a per-step
+        # host round-trip we deliberately avoid).
+        pending = []
+
+        def flush():
+            for a in jax.device_get(pending):
+                meters["loss"].update(float(a["loss"]))
+                meters["psnr"].update(float(a["psnr"]))
+                if int(a["overflow"]) > 0:
+                    self.logger.file_only(
+                        f"[WARN] {int(a['overflow'])} tile instances dropped "
+                        "(raise max_per_tile)"
+                    )
+            pending.clear()
+
         for sample in Prefetcher(ds, order):
             frame = self._make_frame(sample, tables)
             self.ts, aux = self.train_step(self.ts, frame)
             self.global_step += 1
+            pending.append(aux)
 
             # tracking refinement on the SAME frame (train/trainer.py:173-176):
             # gradient step on the per-frame embedding rows
@@ -197,21 +215,15 @@ class Trainer:
                     jnp.asarray(sample["idx"], jnp.int32), const,
                 )
 
-            meters["loss"].update(float(aux["loss"]))
-            meters["psnr"].update(float(aux["psnr"]))
-            if self.global_step % 100 == 0 or self.global_step == 1:
-                overflow = int(aux["overflow"])
-                if overflow > 0:
-                    self.logger.log(
-                        f"[WARN] step {self.global_step}: {overflow} tile "
-                        "instances dropped (raise max_per_tile)"
-                    )
+            if len(pending) >= 50:
+                flush()
             if (
                 self.workspace is not None
                 and self.global_step % self.snapshot_interval == 0
             ):
                 self.save_snapshot(sample)
 
+        flush()
         dt = time.perf_counter() - t0
         n = len(ds)
         self.logger.log(
