@@ -67,12 +67,22 @@ def matrix_to_axis_angle(m: np.ndarray) -> np.ndarray:
 def load_rgb(path: str, img_res, bg_color: str = "black",
              return_alpha: bool = False):
     """Decode + resize + alpha-composite (train/dataset.py:14-54). Returns
-    HWC float32 in [0,1] (the reference returns CHW; we standardize HWC)."""
-    import PIL.Image
+    HWC float32 in [0,1] (the reference returns CHW; we standardize HWC).
 
-    img = PIL.Image.open(path)
-    img = img.resize(tuple(img_res))
-    arr = np.asarray(img).astype(np.float32) / 255.0
+    Uses the native threaded C++ decoder (fateavatar_tpu/native) when
+    available; falls back to PIL."""
+    from fateavatar_tpu import native
+
+    decoded = native.decode_image(path, img_res[0], img_res[1])
+    if decoded is not None:
+        rgba, src_c = decoded
+        arr = rgba if src_c == 4 else rgba[:, :, :3]
+    else:
+        import PIL.Image
+
+        img = PIL.Image.open(path)
+        img = img.resize(tuple(img_res))
+        arr = np.asarray(img).astype(np.float32) / 255.0
     alpha = None
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
