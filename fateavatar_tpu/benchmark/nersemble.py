@@ -95,6 +95,11 @@ class NersembleBenchmarkDataset(FaceDataset):
             intrinsics=self.K,
         )
 
+    def sample(self, idx: int) -> dict:
+        s = super().sample(idx)
+        s["intrinsics_K"] = self.K  # principal-point-shift camera path
+        return s
+
 
 @dataclass
 class BenchmarkRunConfig:

@@ -133,6 +133,7 @@ class Trainer:
         camera = make_camera(
             cam_pose[:3, :3].T, T,
             sample["fovx"], sample["fovy"], w, h,
+            intrinsics=sample.get("intrinsics_K"),  # NeRSemble-style shift
         )
         return Frame(
             expression=expr,
