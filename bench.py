@@ -84,10 +84,37 @@ def main():
 
     run(3)  # warmup / compile
     n = 30
+    its = None
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        aux = run(n)
+        dt = time.perf_counter() - t0
+        its = n / dt
+        # the remote-TPU tunnel occasionally drops execution and returns
+        # instantly; a >1000 it/s full train step is physically impossible
+        if its < 1000:
+            break
+        print(f"[warn] implausible timing ({its:.0f} it/s), retrying",
+              file=sys.stderr)
+        time.sleep(2)
+
+    # secondary metric (stderr): forward-only render FPS (BASELINE config 1/2)
+    import jax as _jax
+
+    fwd = _jax.jit(lambda p, s, e, fp: __import__(
+        "fateavatar_tpu.models", fromlist=["fateavatar_forward"]
+    ).fateavatar_forward(
+        model, p, s, e, fp, frame.camera, render_cfg=render_cfg
+    )["rgb_image"])
+    img = fwd(ts.params, ts.state, frame.expression, frame.flame_pose)
+    img.block_until_ready()
     t0 = time.perf_counter()
-    aux = run(n)
-    dt = time.perf_counter() - t0
-    its = n / dt
+    for _ in range(30):
+        img = fwd(ts.params, ts.state, frame.expression, frame.flame_pose)
+    img.block_until_ready()
+    fps = 30 / (time.perf_counter() - t0)
+    print(f"[secondary] forward-only render: {fps:.1f} fps "
+          f"({1000/fps:.1f} ms/frame)", file=sys.stderr)
 
     result = {
         "metric": (

@@ -47,30 +47,41 @@ def huber_loss(pred, gt, alpha: float = 0.1):
     return jnp.mean(jnp.where(diff < alpha, quad, lin))
 
 
-def _gaussian_window(size: int = 11, sigma: float = 1.5):
+def _gaussian_window_1d(size: int = 11, sigma: float = 1.5):
     x = np.arange(size) - size // 2
     g = np.exp(-(x**2) / (2 * sigma**2))
     g = g / g.sum()
-    return jnp.asarray(np.outer(g, g), jnp.float32)
+    return jnp.asarray(g, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("window_size",))
 def d_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11):
     """1 - SSIM with an 11x11 sigma-1.5 Gaussian window
-    (tools/loss_utils/dssim.py:28-58). Accepts [H,W,3] or [B,H,W,3]."""
+    (tools/loss_utils/dssim.py:28-58). Accepts [H,W,3] or [B,H,W,3].
+
+    The 2-D Gaussian window is an outer product, so each of the five
+    windowed sums runs as two 1-D convolutions (11+11 taps instead of 121)."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
     # NCHW for a grouped conv
     x = img1.transpose(0, 3, 1, 2)
     y = img2.transpose(0, 3, 1, 2)
     c = x.shape[1]
-    w = _gaussian_window(window_size)
-    kernel = jnp.broadcast_to(w, (c, 1, window_size, window_size))
+    g1d = _gaussian_window_1d(window_size)
+    k_h = jnp.broadcast_to(g1d.reshape(1, 1, window_size, 1),
+                           (c, 1, window_size, 1))
+    k_w = jnp.broadcast_to(g1d.reshape(1, 1, 1, window_size),
+                           (c, 1, 1, window_size))
 
-    conv = lambda im: jax.lax.conv_general_dilated(
-        im, kernel, (1, 1), "SAME", feature_group_count=c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
+    def conv(im):
+        im = jax.lax.conv_general_dilated(
+            im, k_h, (1, 1), "SAME", feature_group_count=c,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return jax.lax.conv_general_dilated(
+            im, k_w, (1, 1), "SAME", feature_group_count=c,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
     mu1, mu2 = conv(x), conv(y)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     s1 = conv(x * x) - mu1_sq
@@ -118,7 +129,14 @@ def vgg16_random_params(key, dtype=jnp.float32):
 
 
 def load_vgg16_from_torch(path: str):
-    """Convert a torchvision vgg16 state_dict (.pth) to our params list."""
+    """Load VGG16 conv weights: a converted .npz (scripts/convert_vgg16.py)
+    or a raw torchvision state_dict (.pth)."""
+    if path.endswith(".npz"):
+        data = np.load(path)
+        n = sum(1 for k in data.files if k.startswith("w"))
+        return [(jnp.asarray(data[f"w{i}"]), jnp.asarray(data[f"b{i}"]))
+                for i in range(n)]
+
     import torch
 
     sd = torch.load(path, map_location="cpu")

@@ -64,15 +64,45 @@ def main():
         print(f"binning (R={R:3d}):  {1e3*t:8.2f} ms  overflow={int(lists.overflow)} "
               f"max_count={int(jnp.max(lists.counts))}")
 
-    for R in (16, 32):
-        scan_fn = jax.jit(lambda p: binning.build_tile_lists_scan(
-            p.mean2d, p.depth, p.radius, grid,
-            max_per_tile=cfg.max_per_tile, max_tiles_per_gaussian=R))
-        lists = scan_fn(prep)
-        t = time_fn(scan_fn, prep)
-        print(f"binning scan R={R:2d}: {1e3*t:8.2f} ms  overflow={int(lists.overflow)}")
+    # instance-path stages
+    from fateavatar_tpu.render.blend_instances import (
+        CHUNK, blend_instances_pallas,
+    )
 
-    lists = jax.jit(lambda p: binning.build_tile_lists_scan(
+    inst_fn = jax.jit(lambda p: binning.build_instance_lists(
+        p.mean2d, p.depth, p.radius, grid,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian, chunk=CHUNK))
+    ilists = inst_fn(prep)
+    print(f"inst binning:      {1e3*time_fn(inst_fn, prep):8.2f} ms  "
+          f"overflow={int(ilists.overflow)} "
+          f"M_used={int(ilists.tile_starts[-1])}")
+
+    def pack_gather(p, instances):
+        packed = jnp.concatenate([
+            p.mean2d, p.conic, p.color, p.opacity[:, None],
+            jnp.ones((n, 1), jnp.float32), jnp.zeros((n, 6), jnp.float32),
+        ], -1)
+        packed = jnp.concatenate([packed, jnp.zeros((1, 16))], 0)
+        ids = jnp.where(instances >= 0, instances, n)
+        return jnp.take(packed, ids, axis=0).T
+
+    pg_fn = jax.jit(pack_gather)
+    inst_data = pg_fn(prep, ilists.instances)
+    print(f"inst gather:       {1e3*time_fn(pg_fn, prep, ilists.instances):8.2f} ms"
+          f"  shape={inst_data.shape}")
+
+    if backend == "tpu":
+        ib_fn = jax.jit(lambda d: blend_instances_pallas(
+            d, ilists.tile_starts, bg, grid, False))
+        _ = ib_fn(inst_data)
+        print(f"inst blend fwd:    {1e3*time_fn(ib_fn, inst_data):8.2f} ms")
+
+        ibwd_fn = jax.jit(jax.grad(lambda d: jnp.sum(blend_instances_pallas(
+            d, ilists.tile_starts, bg, grid, False)[0])))
+        _ = ibwd_fn(inst_data)
+        print(f"inst blend f+b:    {1e3*time_fn(ibwd_fn, inst_data):8.2f} ms")
+
+    lists = jax.jit(lambda p: binning.build_tile_lists(
         p.mean2d, p.depth, p.radius, grid,
         max_per_tile=cfg.max_per_tile,
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian))(prep)
