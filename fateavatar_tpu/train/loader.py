@@ -39,10 +39,26 @@ class Loader:
         opt = fateavatar_optimizers({})
         ts = init_train_state(params_template, state_template, opt)
         tree = {"ts": ts, "epoch": 0, "global_step": 0}
-        restored = ckpt.restore(tree)
-        self.params = restored["ts"].params
-        self.state = restored["ts"].state
-        self.epoch = int(restored["epoch"])
+        try:
+            restored = ckpt.restore(tree)
+            self.params = restored["ts"].params
+            self.state = restored["ts"].state
+            self.epoch = int(restored["epoch"])
+        except Exception:
+            # tracking-enabled checkpoints carry extra keys the template
+            # doesn't know about; restore raw and rebuild by field name
+            import orbax.checkpoint as ocp
+
+            step = ckpt.manager.latest_step()
+            raw = ckpt.manager.restore(step, args=ocp.args.StandardRestore())
+            ts_raw = raw["ts"]
+            self.params = params_template.replace(**{
+                k: jnp.asarray(v) for k, v in ts_raw["params"].items()
+            })
+            self.state = state_template.replace(**{
+                k: jnp.asarray(v) for k, v in ts_raw["state"].items()
+            })
+            self.epoch = int(raw["epoch"])
         ckpt.close()
 
     def render_frame(self, expression, flame_pose, camera):
