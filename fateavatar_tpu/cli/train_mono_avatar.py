@@ -24,6 +24,11 @@ def main(argv=None):
 
     cfg = load_config(args.config, args.overrides)
 
+    from fateavatar_tpu.utils.misc import file_backup, seed_everything
+
+    seed_everything(cfg.seed)
+    file_backup(cfg.workspace)  # reproducibility source snapshot
+
     train_ds, test_ds = common.construct_datasets(cfg)
     flame = common.construct_flame(cfg, train_ds)
     model, params, state = common.construct_model(cfg, flame)

@@ -191,7 +191,7 @@ def build_instance_lists(
     ty, tx = grid
     num_tiles = ty * tx
     R = max_tiles_per_gaussian
-    M = instance_budget or min(6 * n, n * R)
+    M = instance_budget or min(4 * n, n * R)
     M_out = M + num_tiles * chunk
 
     visible = radius > 0

@@ -295,6 +295,7 @@ class Trainer:
             )
             with open(mpath, "w") as f:
                 json.dump({"summary": summary, "per_frame": per_frame}, f, indent=2)
+            self._plot_metrics(mode, per_frame)
             if save_media and frames_out:
                 write_video(
                     os.path.join(
@@ -311,6 +312,31 @@ class Trainer:
                     frames_out[0],
                 )
         return summary
+
+    def _plot_metrics(self, mode: str, per_frame: list):
+        """Per-frame metric curves (train/trainer.py:576-602 equivalent)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        keys = [k for k in per_frame[0] if k != "frame"] if per_frame else []
+        if not keys:
+            return
+        fig, axes = plt.subplots(1, len(keys), figsize=(4 * len(keys), 3))
+        if len(keys) == 1:
+            axes = [axes]
+        for ax, key in zip(axes, keys):
+            ax.plot([row[key] for row in per_frame])
+            ax.set_title(key)
+            ax.set_xlabel("frame")
+        fig.tight_layout()
+        fig.savefig(os.path.join(
+            self.media_dirs["metrics"], f"{mode}_epoch{self.epoch}.png"
+        ))
+        plt.close(fig)
 
     def optimize_tracking(self, optim_epoch: int = 50):
         """Fit test-set tracking rows (train/base.py:198-235): 50 gradient

@@ -235,7 +235,8 @@ class TestTileBlend:
         out_ref = render(cam, g, bg, config=RenderConfig(
             impl="xla", max_per_tile=256, chunk=32))
         out_got = render(cam, g, bg, config=RenderConfig(
-            impl="pallas_interpret", kernel="instances", chunk=32))
+            impl="pallas_interpret", kernel="instances", chunk=32,
+            instance_budget=80 * 36))
         np.testing.assert_allclose(
             np.asarray(out_got["render"]), np.asarray(out_ref["render"]),
             atol=3e-5,
@@ -250,7 +251,7 @@ class TestTileBlend:
 
         cfg_ref = RenderConfig(impl="xla", max_per_tile=128, chunk=32)
         cfg_got = RenderConfig(impl="pallas_interpret", kernel="instances",
-                               chunk=32)
+                               chunk=32, instance_budget=40 * 36)
         diff_fields = ("xyz", "scaling", "rotation", "opacity", "features_dc")
 
         def wrap(cfg):

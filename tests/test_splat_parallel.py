@@ -1,0 +1,69 @@
+"""Gaussian-sharded rendering tests: value parity with single-device render
+on the virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fateavatar_tpu.ops.camera import make_camera
+from fateavatar_tpu.parallel.splat_parallel import render_splat_sharded
+from fateavatar_tpu.render.render import RenderConfig, render
+from fateavatar_tpu.render.splats import inverse_sigmoid, make_gaussians
+
+W = H = 64
+
+
+def make_scene(n=128, seed=0):
+    rng = np.random.default_rng(seed)
+    xyz = np.concatenate(
+        [rng.uniform(-0.4, 0.4, (n, 2)), rng.uniform(0.5, 2.0, (n, 1))], axis=1
+    )
+    g = make_gaussians(
+        xyz=xyz,
+        scaling=np.log(rng.uniform(0.01, 0.05, (n, 3))),
+        rotation=rng.normal(size=(n, 4)),
+        opacity=np.asarray(inverse_sigmoid(
+            jnp.asarray(rng.uniform(0.2, 0.9, (n, 1))))),
+        features_dc=rng.uniform(-1, 1, (n, 1, 3)),
+    )
+    cam = make_camera(jnp.eye(3), jnp.zeros(3), 0.9, 0.9, W, H)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    return cam, g, bg
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs virtual mesh")
+def test_sharded_matches_single_device():
+    cam, g, bg = make_scene(128)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("gauss",))
+    g_sharded = jax.device_put(g, NamedSharding(mesh, P("gauss")))
+
+    img, dropped = render_splat_sharded(
+        cam, g_sharded, bg, mesh, max_per_tile=128,
+        pair_budget=128 * 16, chunk=32,
+    )
+    assert int(dropped) == 0
+
+    ref = render(cam, g, bg, config=RenderConfig(
+        impl="xla", max_per_tile=256, chunk=32,
+        max_tiles_per_gaussian=16))["render"]
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=5e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs virtual mesh")
+def test_sharded_grads_flow():
+    cam, g, bg = make_scene(64, seed=1)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("gauss",))
+    g_sharded = jax.device_put(g, NamedSharding(mesh, P("gauss")))
+
+    def loss(xyz):
+        gs = g_sharded.replace(xyz=xyz)
+        img, _ = render_splat_sharded(
+            cam, gs, bg, mesh, max_per_tile=64, pair_budget=64 * 16, chunk=32,
+        )
+        return jnp.mean(img ** 2)
+
+    grad = jax.jit(jax.grad(loss))(g_sharded.xyz)
+    assert np.isfinite(np.asarray(grad)).all()
+    assert float(jnp.abs(grad).max()) > 0
