@@ -166,7 +166,7 @@ def build_tile_lists(
 
 
 @partial(jax.jit, static_argnames=(
-    "grid", "max_tiles_per_gaussian", "instance_budget", "chunk"))
+    "grid", "max_tiles_per_gaussian", "instance_budget", "chunk", "sort_mode"))
 def build_instance_lists(
     mean2d: jax.Array,
     depth: jax.Array,
@@ -175,6 +175,7 @@ def build_instance_lists(
     max_tiles_per_gaussian: int = 16,
     instance_budget: int = 0,
     chunk: int = 64,
+    sort_mode: str = "stable",
 ) -> InstanceLists:
     """Flat instance binning for the instance-range blend kernel: the same
     depth-sort + candidate expansion + compaction + stable tile sort as
@@ -195,10 +196,19 @@ def build_instance_lists(
     M_out = M + num_tiles * chunk
 
     visible = radius > 0
-    order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
-    mean2d_s = mean2d[order]
-    radius_s = radius[order]
-    visible_s = visible[order]
+    if sort_mode == "stable":
+        # depth-argsort gaussians upfront, then ONE stable tile sort
+        order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
+        mean2d_s = mean2d[order]
+        radius_s = radius[order]
+        visible_s = visible[order]
+    else:
+        # 'twokey': skip the argsort + per-gaussian reorder; sort instances
+        # by (tile, depth) in one two-key pass instead
+        order = jnp.arange(n, dtype=jnp.int32)
+        mean2d_s = mean2d
+        radius_s = jnp.where(visible, radius, 0)
+        visible_s = visible
 
     rmin_x, rmin_y, rmax_x, rmax_y = gaussian_rect(mean2d_s, radius_s, grid)
     rect_w = jnp.maximum(rmax_x - rmin_x, 1)
@@ -223,9 +233,17 @@ def build_instance_lists(
     n_valid = jnp.sum(flat_valid)
     dropped = dropped + jnp.maximum(n_valid - M, 0)
 
-    sort_tiles, sort_gauss = jax.lax.sort(
-        (comp_tiles, comp_gauss), num_keys=1, is_stable=True
-    )
+    if sort_mode == "stable":
+        sort_tiles, sort_gauss = jax.lax.sort(
+            (comp_tiles, comp_gauss), num_keys=1, is_stable=True
+        )
+    else:
+        comp_depth = jnp.where(
+            comp_gauss >= 0, depth[jnp.maximum(comp_gauss, 0)], jnp.inf
+        )
+        sort_tiles, _, sort_gauss = jax.lax.sort(
+            (comp_tiles, comp_depth, comp_gauss), num_keys=2, is_stable=False
+        )
     raw_starts = jnp.searchsorted(
         sort_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)

@@ -106,6 +106,7 @@ def render(
             max_tiles_per_gaussian=config.max_tiles_per_gaussian,
             instance_budget=config.instance_budget,
             chunk=INST_CHUNK,
+            sort_mode="twokey" if config.binning == "twokey" else "stable",
         )
         n = mean2d.shape[0]
         packed = jnp.concatenate([

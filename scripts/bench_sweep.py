@@ -47,14 +47,11 @@ def main():
     )
 
     variants = [
-        ("inst R16 b6N", RenderConfig(max_tiles_per_gaussian=16)),
-        ("inst R8  b6N", RenderConfig(max_tiles_per_gaussian=8)),
-        ("inst R16 b4N", RenderConfig(max_tiles_per_gaussian=16,
-                                      instance_budget=4 * capacity)),
-        ("inst R16 b8N", RenderConfig(max_tiles_per_gaussian=16,
-                                      instance_budget=8 * capacity)),
-        ("tiles K1024", RenderConfig(kernel="tiles")),
-        ("tiles K512", RenderConfig(kernel="tiles", max_per_tile=512)),
+        ("inst R16 stable", RenderConfig(max_tiles_per_gaussian=16)),
+        ("inst R16 twokey", RenderConfig(max_tiles_per_gaussian=16,
+                                         binning="twokey")),
+        ("inst R8 twokey", RenderConfig(max_tiles_per_gaussian=8,
+                                        binning="twokey")),
     ]
 
     for name, rc in variants:

@@ -242,6 +242,27 @@ class TestTileBlend:
             atol=3e-5,
         )
 
+    def test_twokey_binning_matches_stable(self):
+        """The two-key (tile, depth) sort variant orders instances like the
+        argsort+stable-sort reference (unique depths)."""
+        cam, g, bg = make_scene(60, seed=22)
+        prep = run_preprocess(cam, g)
+        grid = binning.tile_grid(W, H)
+        a = binning.build_instance_lists(
+            prep.mean2d, prep.depth, prep.radius, grid,
+            max_tiles_per_gaussian=36, instance_budget=60 * 36,
+            sort_mode="stable",
+        )
+        b = binning.build_instance_lists(
+            prep.mean2d, prep.depth, prep.radius, grid,
+            max_tiles_per_gaussian=36, instance_budget=60 * 36,
+            sort_mode="twokey",
+        )
+        np.testing.assert_array_equal(np.asarray(a.instances),
+                                      np.asarray(b.instances))
+        np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                      np.asarray(b.tile_starts))
+
     def test_instance_kernel_grads_match_xla(self):
         cam, g, bg = make_scene(40, seed=21)
 
