@@ -89,6 +89,67 @@ def main(argv=None):
             f"({count / max(dt, 1e-9):.2f} it/s)"
         )
 
+        # checkpoint + eval frame per epoch
+        import os
+
+        from fateavatar_tpu.train.checkpoints import save_pytree
+        from fateavatar_tpu.train.metrics import PSNRMeter
+        from fateavatar_tpu.utils.logging import save_image
+
+        ws = os.path.join(cfg.workspace, f"baseline_{args.model}")
+        os.makedirs(os.path.join(ws, "checkpoints"), exist_ok=True)
+        os.makedirs(os.path.join(ws, "media"), exist_ok=True)
+        save_pytree(
+            os.path.join(ws, "checkpoints", f"epoch{epoch}.npz"),
+            {"params": ts.params, "state": ts.state},
+        )
+        if len(test_ds):
+            s = test_ds.sample(0)
+            cam_pose = np.asarray(s["cam_pose"], np.float32)
+            from fateavatar_tpu.ops.camera import make_camera
+
+            camera = make_camera(
+                cam_pose[:3, :3].T, cam_pose[:3, 3], s["fovx"], s["fovy"],
+                cfg.dataset.img_res[1], cfg.dataset.img_res[0],
+            )
+            img = _eval_render(args.model, bundle, ts, camera,
+                               jnp.asarray(s["expression"], jnp.float32),
+                               jnp.asarray(s["flame_pose"], jnp.float32),
+                               common.render_config(cfg))
+            if img is not None:
+                m = PSNRMeter()
+                m.update(img, jnp.asarray(s["ground_truth"]["rgb"]))
+                logger.log(f"[{args.model} epoch {epoch}] eval PSNR "
+                           f"{m.measure():.2f}")
+                save_image(
+                    os.path.join(ws, "media", f"eval_epoch{epoch}.png"),
+                    np.asarray(img),
+                )
+
+
+def _eval_render(name, bundle, ts, camera, expr, pose, render_cfg):
+    from fateavatar_tpu.models.baselines import (
+        flashavatar as FA,
+        gaussianavatars as GA,
+        monogaussianavatar as MA,
+        splattingavatar as SA,
+    )
+
+    if name == "gaussianavatars":
+        return GA.ga_forward(bundle[0], ts.params, ts.state, expr, pose,
+                             camera, render_cfg=render_cfg)["rgb_image"]
+    if name == "flashavatar":
+        return FA.flash_forward(bundle[0], ts.params, bundle[2], expr, pose,
+                                camera, render_cfg=render_cfg)["rgb_image"]
+    if name == "splattingavatar":
+        return SA.splat_forward(bundle[0], ts.params, ts.state, expr, pose,
+                                camera, render_cfg=render_cfg)["rgb_image"]
+    if name == "monogaussianavatar":
+        return MA.mono_forward(bundle[0], ts.params, ts.state, bundle[3],
+                               expr, pose, camera,
+                               render_cfg=render_cfg)["rgb_image"]
+    return None
+
 
 if __name__ == "__main__":
     main()
