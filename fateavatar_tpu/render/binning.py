@@ -218,19 +218,26 @@ def build_instance_lists(
     r_lin = jnp.arange(R, dtype=jnp.int32)[None, :]
     cand_x = rmin_x[:, None] + r_lin % rect_w[:, None]
     cand_y = rmin_y[:, None] + r_lin // rect_w[:, None]
-    valid = (r_lin < n_tiles_touched[:, None])
+    touched_capped = jnp.minimum(n_tiles_touched, R)
+    valid = (r_lin < touched_capped[:, None])
     tile_id = jnp.where(valid, cand_y * tx + cand_x, num_tiles)
 
-    flat_valid = valid.reshape(-1)
+    # exact compaction offsets from an N-length cumsum (the CUDA
+    # InclusiveSum over tiles_touched, rasterizer_impl.cu:277) — far
+    # cheaper than a cumsum over all N*R candidate slots
+    offsets = jnp.cumsum(touched_capped) - touched_capped       # exclusive
+    dest = jnp.where(
+        valid & (offsets[:, None] + r_lin < M),
+        offsets[:, None] + r_lin, M,
+    )
     flat_tiles = tile_id.reshape(-1)
     gauss_idx = jnp.broadcast_to(order[:, None], tile_id.shape).reshape(-1)
-    pos = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
-    dest = jnp.where(flat_valid & (pos < M), pos, M)
+    dest = dest.reshape(-1)
     comp_tiles = jnp.full((M + 1,), num_tiles, jnp.int32).at[dest].set(
         flat_tiles.astype(jnp.int32), mode="drop")[:M]
     comp_gauss = jnp.full((M + 1,), -1, jnp.int32).at[dest].set(
         gauss_idx.astype(jnp.int32), mode="drop")[:M]
-    n_valid = jnp.sum(flat_valid)
+    n_valid = jnp.sum(touched_capped)
     dropped = dropped + jnp.maximum(n_valid - M, 0)
 
     if sort_mode == "stable":

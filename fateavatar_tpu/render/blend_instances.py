@@ -223,15 +223,24 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
             g_op,
             jnp.zeros((CHUNK, ROW - 9), jnp.float32),
         ], axis=1)                                   # [CHUNK, 16]
-        out_scratch[0] = grows.T                     # [16, CHUNK]
-        out_off = pl.multiple_of(s + i * CHUNK, CHUNK)
-        out_dma = pltpu.make_async_copy(
-            out_scratch.at[0],
-            gout_ref.at[:, pl.ds(out_off, CHUNK)],
-            out_sem,
-        )
-        out_dma.start()
-        out_dma.wait()
+        # double-buffered gradient write-back: wait for the DMA that last
+        # used this slot (2 iterations ago) before overwriting it
+        oslot = i % 2
+
+        def out_dma_for(j, sl):
+            off = pl.multiple_of(s + j * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                out_scratch.at[sl],
+                gout_ref.at[:, pl.ds(off, CHUNK)],
+                out_sem.at[sl],
+            )
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma_for(i - 2, oslot).wait()
+
+        out_scratch[oslot] = grows.T                 # [16, CHUNK]
+        out_dma_for(i, oslot).start()
 
         t_carry = t_carry * t_incl[CHUNK - 1 : CHUNK, :]
         return (t_carry, pr[CHUNK - 1 : CHUNK], pg[CHUNK - 1 : CHUNK],
@@ -241,6 +250,20 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
         jnp.zeros((1, P), jnp.float32) for _ in range(3)
     )
     jax.lax.fori_loop(0, nchunk, body, init)
+
+    # drain outstanding gradient write-backs
+    def drain(j):
+        @pl.when(j >= 0)
+        def _():
+            off = pl.multiple_of(s + j * CHUNK, CHUNK)
+            pltpu.make_async_copy(
+                out_scratch.at[j % 2],
+                gout_ref.at[:, pl.ds(off, CHUNK)],
+                out_sem.at[j % 2],
+            ).wait()
+
+    drain(nchunk - 2)
+    drain(nchunk - 1)
 
 
 def _call_fwd(inst_data, tile_starts, bg, grid, interpret):
@@ -298,9 +321,9 @@ def _call_bwd(inst_data, tile_starts, bg, img_tiles, t_final, g_img, g_tfin,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
-            pltpu.VMEM((1, ROW, CHUNK), jnp.float32),
+            pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     (gout,) = pl.pallas_call(
