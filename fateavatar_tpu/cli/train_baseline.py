@@ -35,6 +35,12 @@ def main(argv=None):
     from fateavatar_tpu.utils.logging import Logger
     from fateavatar_tpu.utils.obj_io import load_obj
 
+    if args.config is None:
+        import os
+
+        default = os.path.join("configs", f"{args.model}.yaml")
+        if os.path.exists(default):
+            args.config = default
     cfg = load_config(args.config, args.overrides)
     train_ds, test_ds = common.construct_datasets(cfg)
     flame = common.construct_flame(cfg, train_ds)

@@ -39,6 +39,10 @@ class LossSection:
     laplacian_weight: float = 100000.0
     normal_weight: float = 0.0
     flame_weight: float = 0.0
+    # gaussianavatars regularizer knobs (train/loss.py:327-381 in the ref)
+    xyz_weight: float = 0.01
+    threshold_scale: float = 0.6
+    threshold_xyz: float = 1.0
 
 
 @dataclass
@@ -50,6 +54,11 @@ class ModelSection:
     delta_vertex: bool = True
     resize_scale: bool = True
     sh_degree: int = 0
+    # baseline-family knobs (ignored by families that don't use them)
+    num_samples: int = 10000       # splattingavatar: canonical surface samples
+    n_init_points: int = 400       # monogaussianavatar: initial point count
+    max_points: int = 100000       # monogaussianavatar: upsample ceiling
+    cam_scale: float = 3.0         # monogaussianavatar: camera scale factor
 
 
 @dataclass
@@ -69,6 +78,11 @@ class TrainingSection:
     min_opacity: float = 0.005
     increase_num: int = 1000
     max_points_num: int = 200000
+    # baseline-family knobs
+    densify_grad_threshold: float = 1e-4   # gaussianavatars clone/split gate
+    densify_from_iter: int = 10000         # gaussianavatars densify warmup
+    active_sh_degree: int = 0              # gaussianavatars starting SH degree
+    triangle_walk_interval: int = 100      # splattingavatar UVD walk commit
     epochs: Dict[str, int] = field(
         default_factory=lambda: {"imavatar": 50, "insta": 10, "finetune": 50}
     )
