@@ -16,6 +16,9 @@ def main(argv=None):
     parser.add_argument("--workspace", type=str, required=True)
     parser.add_argument("--num_views", type=int, default=30)
     parser.add_argument("--orbit_radius", type=float, default=2.7)
+    parser.add_argument("--bisenet_weights", type=str, default=None,
+                        help="face-parsing.PyTorch 79999_iter.pth; enables "
+                             "native BiSeNet head masks for stage 8")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -36,6 +39,16 @@ def main(argv=None):
     loader = Loader(model, params0, state0, args.workspace,
                     render_cfg=common.render_config(cfg))
 
+    matting_fn = None
+    if args.bisenet_weights:
+        from fateavatar_tpu.completion.segmentation import (
+            load_bisenet_from_torch, make_bisenet_matting_fn,
+        )
+
+        matting_fn = make_bisenet_matting_fn(
+            load_bisenet_from_torch(args.bisenet_weights)
+        )
+
     gen = PseudoGenerator(
         model, loader.params, loader.state,
         PseudoGeneratorConfig(
@@ -44,6 +57,7 @@ def main(argv=None):
             out_dir=f"{args.workspace}/pseudo",
         ),
         render_cfg=common.render_config(cfg),
+        matting_fn=matting_fn,
     )
     gen.run(identity["fovx"], identity["fovy"])
     print(f"pseudo views written to {args.workspace}/pseudo")

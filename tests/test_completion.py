@@ -161,3 +161,56 @@ class TestCompletionTrainer:
         )
         assert len(frames) == 4
         assert all(np.isfinite(f).all() for f in frames)
+
+
+class TestSegmentation:
+    """Native BiSeNet face parsing (completion/segmentation.py), the stage-8
+    mask network (reference train/completion.py:818-886)."""
+
+    def test_forward_shape_and_finiteness(self):
+        from fateavatar_tpu.completion import segmentation as seg
+
+        params = seg.init_bisenet(0)
+        x = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 3)),
+                        jnp.float32)
+        logits = seg.bisenet_forward(params, x)
+        assert logits.shape == (1, 64, 64, seg.N_CLASSES)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+        cls = seg.parse_faces(params, x)
+        assert cls.shape == (1, 64, 64)
+        assert int(cls.min()) >= 0 and int(cls.max()) < seg.N_CLASSES
+
+    def test_torch_converter_roundtrip(self, tmp_path):
+        import torch
+
+        from fateavatar_tpu.completion import segmentation as seg
+
+        rng = np.random.default_rng(2)
+        sd = {}
+        for name, shape in seg._shape_table().items():
+            arr = rng.normal(0, 0.05, shape).astype(np.float32)
+            if name.endswith("running_var"):
+                arr = np.abs(arr) + 0.5
+            if arr.ndim == 4:  # store as torch OIHW
+                arr = arr.transpose(3, 2, 0, 1)
+            sd[name] = torch.from_numpy(arr.copy())
+        # extra keys a real checkpoint carries must be ignored
+        sd["conv_out16.conv_out.weight"] = torch.zeros(19, 64, 1, 1)
+        sd["cp.resnet.bn1.num_batches_tracked"] = torch.tensor(7)
+        path = str(tmp_path / "bisenet.pth")
+        torch.save(sd, path)
+
+        params = seg.load_bisenet_from_torch(path)
+        assert params["cp.resnet.conv1.weight"].shape == (7, 7, 3, 64)
+        x = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+        logits = seg.bisenet_forward(params, x)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_matting_fn_contract(self):
+        from fateavatar_tpu.completion import segmentation as seg
+
+        fn = seg.make_bisenet_matting_fn(seg.init_bisenet(3), infer_size=32)
+        img = np.random.default_rng(4).random((48, 48, 3)).astype(np.float32)
+        mask = fn(img)
+        assert mask.shape == (48, 48)
+        assert set(np.unique(mask)).issubset({0.0, 1.0})
