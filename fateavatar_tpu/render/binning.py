@@ -166,7 +166,8 @@ def build_tile_lists(
 
 
 @partial(jax.jit, static_argnames=(
-    "grid", "max_tiles_per_gaussian", "instance_budget", "chunk", "sort_mode"))
+    "grid", "max_tiles_per_gaussian", "instance_budget", "chunk", "sort_mode",
+    "count_block"))
 def build_instance_lists(
     mean2d: jax.Array,
     depth: jax.Array,
@@ -176,6 +177,7 @@ def build_instance_lists(
     instance_budget: int = 0,
     chunk: int = 64,
     sort_mode: str = "stable",
+    count_block: int = 512,
 ) -> InstanceLists:
     """Flat instance binning for the instance-range blend kernel: the same
     depth-sort + candidate expansion + compaction + stable tile sort as
@@ -196,8 +198,88 @@ def build_instance_lists(
     M_out = M + num_tiles * chunk
 
     visible = radius > 0
-    if sort_mode == "stable":
-        # depth-argsort gaussians upfront, then ONE stable tile sort
+
+    if sort_mode == "gather":
+        # SCATTER-FREE stable path. TPU scatters serialize badly, and the
+        # classic pipeline has two big ones (candidate compaction and the
+        # chunk-aligned re-layout). Both maps are invertible, so each
+        # becomes a searchsorted + gather instead:
+        #   compaction: output slot m belongs to the gaussian whose
+        #     inclusive tiles_touched cumsum first exceeds m; its tile is
+        #     recomputed from the rect walk — the [N, R] candidate tensor
+        #     is never materialized at all.
+        #   re-layout: output slot o inverts to (tile, rank) via the
+        #     aligned starts, then to the sorted-instance index.
+        order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
+        mean2d_s = mean2d[order]
+        radius_s = radius[order]
+        visible_s = visible[order]
+
+        rmin_x, rmin_y, rmax_x, rmax_y = gaussian_rect(
+            mean2d_s, radius_s, grid)
+        rect_w = jnp.maximum(rmax_x - rmin_x, 1)
+        n_tiles_touched = jnp.where(
+            visible_s, rect_w * (rmax_y - rmin_y), 0)
+        dropped = jnp.sum(jnp.maximum(n_tiles_touched - R, 0))
+        touched_capped = jnp.minimum(n_tiles_touched, R)
+
+        cum = jnp.cumsum(touched_capped)                      # inclusive [N]
+        n_valid = cum[-1]
+        dropped = dropped + jnp.maximum(n_valid - M, 0)
+
+        # inverse of the offsets map WITHOUT searchsorted (whose sequential
+        # binary-search loop lowers poorly on TPU): scatter each gaussian's
+        # index at its first instance slot, then a cummax fills its range.
+        offs = cum - touched_capped
+        m_idx = jnp.arange(M, dtype=jnp.int32)
+        first = jnp.where(touched_capped > 0, offs, M)
+        g_of_m = jnp.zeros((M + 1,), jnp.int32).at[first].max(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")[:M]
+        g_clip = jax.lax.associative_scan(jnp.maximum, g_of_m)
+        r_of_m = m_idx - (cum[g_clip] - touched_capped[g_clip])
+        valid_m = m_idx < n_valid
+        rw = rect_w[g_clip]
+        comp_tiles = jnp.where(
+            valid_m,
+            (rmin_y[g_clip] + r_of_m // rw) * tx + rmin_x[g_clip] + r_of_m % rw,
+            num_tiles,
+        ).astype(jnp.int32)
+        comp_gauss = jnp.where(valid_m, order[g_clip], -1).astype(jnp.int32)
+
+        sort_tiles, sort_gauss = jax.lax.sort(
+            (comp_tiles, comp_gauss), num_keys=1, is_stable=True
+        )
+
+        raw_starts = jnp.searchsorted(
+            sort_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
+        counts = raw_starts[1:] - raw_starts[:-1]
+        padded = ((counts + chunk - 1) // chunk) * chunk
+        aligned_starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+        )
+
+        o_idx = jnp.arange(M_out, dtype=jnp.int32)
+        # same scatter+cummax trick for the tile-of-slot inverse (tiles with
+        # zero padded length collide on a start slot; .max keeps the later
+        # tile, whose range is the non-empty one)
+        t_seed = jnp.zeros((M_out + 1,), jnp.int32).at[
+            jnp.minimum(aligned_starts[:num_tiles], M_out)
+        ].max(jnp.arange(num_tiles, dtype=jnp.int32), mode="drop")[:M_out]
+        t_clip = jax.lax.associative_scan(jnp.maximum, t_seed)
+        rank_o = o_idx - aligned_starts[t_clip]
+        src = jnp.minimum(raw_starts[t_clip] + rank_o, M - 1)
+        keep = (rank_o < counts[t_clip]) & (o_idx < aligned_starts[num_tiles])
+        instances = jnp.where(keep, sort_gauss[src], -1)
+
+        return InstanceLists(
+            instances=instances,
+            tile_starts=aligned_starts,
+            overflow=dropped, grid=grid,
+        )
+
+    if sort_mode in ("stable", "count"):
+        # depth-argsort gaussians upfront, then ONE stable tile pass
         order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
         mean2d_s = mean2d[order]
         radius_s = radius[order]
@@ -239,6 +321,59 @@ def build_instance_lists(
         gauss_idx.astype(jnp.int32), mode="drop")[:M]
     n_valid = jnp.sum(touched_capped)
     dropped = dropped + jnp.maximum(n_valid - M, 0)
+
+    if sort_mode == "count":
+        # O(M) STABLE COUNTING SORT by tile — the XLA replacement for the
+        # CUDA radix sort (rasterizer_impl.cu:303) that skips comparison
+        # sorting entirely. comp_* is already in depth order, so a stable
+        # grouping by tile id gives the identical instance ordering:
+        #   dest(i) = aligned_start[tile_i]            (chunk-padded base)
+        #           + carry[block_i, tile_i]           (earlier blocks)
+        #           + |{j < i in block : tile_j = tile_i}|  (within block)
+        # The within-block term is a pairwise-equality reduction that XLA
+        # fuses (no [B, C, C] materialization); everything else is one
+        # scatter-add histogram, one cumsum and gathers — no sort passes.
+        C = count_block
+        pad_m = (-M) % C
+        B = (M + pad_m) // C
+        t_sent = num_tiles  # sentinel tile for padding / dropped slots
+        tiles_b = jnp.pad(comp_tiles, (0, pad_m),
+                          constant_values=t_sent).reshape(B, C)
+
+        # per-block histograms via one scatter-add into [B * (T+1)]
+        b_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), C).reshape(B, C)
+        hist = jnp.zeros((B * (num_tiles + 1),), jnp.int32).at[
+            (b_idx * (num_tiles + 1) + tiles_b).reshape(-1)
+        ].add(1).reshape(B, num_tiles + 1)
+        carry = jnp.cumsum(hist, axis=0) - hist          # exclusive over blocks
+        total = hist.sum(axis=0)                         # [T+1] tile counts
+
+        padded = ((total[:num_tiles] + chunk - 1) // chunk) * chunk
+        aligned_starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+        )
+        base = jnp.concatenate([aligned_starts[:num_tiles],
+                                jnp.full((1,), M_out, jnp.int32)])
+
+        within = jnp.sum(
+            (tiles_b[:, None, :] == tiles_b[:, :, None])
+            & (jnp.arange(C)[None, :] < jnp.arange(C)[:, None])[None],
+            axis=-1, dtype=jnp.int32,
+        )                                                 # [B, C]
+        dest = (
+            base[tiles_b]
+            + jnp.take_along_axis(carry, tiles_b, axis=1)
+            + within
+        )
+        dest = jnp.where(tiles_b == t_sent, M_out, dest).reshape(-1)[:M]
+        instances = jnp.full((M_out + 1,), -1, jnp.int32).at[dest].set(
+            comp_gauss, mode="drop")[:M_out]
+
+        return InstanceLists(
+            instances=instances,
+            tile_starts=aligned_starts,
+            overflow=dropped, grid=grid,
+        )
 
     if sort_mode == "stable":
         sort_tiles, sort_gauss = jax.lax.sort(

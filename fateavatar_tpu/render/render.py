@@ -41,7 +41,8 @@ class RenderConfig:
     instance_budget: int = struct.field(pytree_node=False, default=0)  # 0 = 6N
     chunk: int = struct.field(pytree_node=False, default=64)
     impl: str = struct.field(pytree_node=False, default="auto")  # auto|pallas|xla
-    binning: str = struct.field(pytree_node=False, default="sort")  # sort|scan
+    binning: str = struct.field(pytree_node=False, default="sort")  # sort|scan|count|twokey
+    count_block: int = struct.field(pytree_node=False, default=256)
     # pallas kernel flavour: 'instances' = CUDA-layout flat ranges (no per-
     # tile cap, less data movement); 'tiles' = dense [T, K] lists
     kernel: str = struct.field(pytree_node=False, default="instances")
@@ -106,7 +107,10 @@ def render(
             max_tiles_per_gaussian=config.max_tiles_per_gaussian,
             instance_budget=config.instance_budget,
             chunk=INST_CHUNK,
-            sort_mode="twokey" if config.binning == "twokey" else "stable",
+            sort_mode=(config.binning
+                       if config.binning in ("twokey", "count", "gather")
+                       else "stable"),
+            count_block=config.count_block,
         )
         n = mean2d.shape[0]
         packed = jnp.concatenate([

@@ -48,10 +48,8 @@ def main():
 
     variants = [
         ("inst R16 stable", RenderConfig(max_tiles_per_gaussian=16)),
-        ("inst R16 twokey", RenderConfig(max_tiles_per_gaussian=16,
-                                         binning="twokey")),
-        ("inst R8 twokey", RenderConfig(max_tiles_per_gaussian=8,
-                                        binning="twokey")),
+        ("inst R16 gather", RenderConfig(max_tiles_per_gaussian=16,
+                                         binning="gather")),
     ]
 
     for name, rc in variants:

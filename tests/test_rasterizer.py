@@ -263,6 +263,52 @@ class TestTileBlend:
         np.testing.assert_array_equal(np.asarray(a.tile_starts),
                                       np.asarray(b.tile_starts))
 
+    def test_count_binning_matches_stable(self):
+        """The O(M) counting-sort binning produces the IDENTICAL instance
+        array and tile starts as the stable-sort path (both are stable
+        groupings of depth-ordered instances), including with dead
+        gaussians and an overflowing budget."""
+        for seed, budget in ((23, 60 * 36), (24, 256)):
+            cam, g, bg = make_scene(60, seed=seed)
+            if seed == 24:
+                g = g.replace(alive=g.alive.at[::3].set(False))
+            prep = run_preprocess(cam, g)
+            grid = binning.tile_grid(W, H)
+            kw = dict(max_tiles_per_gaussian=36, instance_budget=budget)
+            a = binning.build_instance_lists(
+                prep.mean2d, prep.depth, prep.radius, grid,
+                sort_mode="stable", **kw)
+            b = binning.build_instance_lists(
+                prep.mean2d, prep.depth, prep.radius, grid,
+                sort_mode="count", **kw)
+            np.testing.assert_array_equal(np.asarray(a.instances),
+                                          np.asarray(b.instances))
+            np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                          np.asarray(b.tile_starts))
+            assert int(a.overflow) == int(b.overflow)
+
+    def test_gather_binning_matches_stable(self):
+        """The scatter-free gather binning reproduces the stable path
+        bit-exactly (incl. dead gaussians and budget overflow)."""
+        for seed, budget in ((25, 60 * 36), (26, 256)):
+            cam, g, bg = make_scene(60, seed=seed)
+            if seed == 26:
+                g = g.replace(alive=g.alive.at[::3].set(False))
+            prep = run_preprocess(cam, g)
+            grid = binning.tile_grid(W, H)
+            kw = dict(max_tiles_per_gaussian=36, instance_budget=budget)
+            a = binning.build_instance_lists(
+                prep.mean2d, prep.depth, prep.radius, grid,
+                sort_mode="stable", **kw)
+            b = binning.build_instance_lists(
+                prep.mean2d, prep.depth, prep.radius, grid,
+                sort_mode="gather", **kw)
+            np.testing.assert_array_equal(np.asarray(a.instances),
+                                          np.asarray(b.instances))
+            np.testing.assert_array_equal(np.asarray(a.tile_starts),
+                                          np.asarray(b.tile_starts))
+            assert int(a.overflow) == int(b.overflow)
+
     def test_instance_kernel_grads_match_xla(self):
         cam, g, bg = make_scene(40, seed=21)
 
