@@ -104,7 +104,8 @@ def main():
     fwd = _jax.jit(lambda p, s, e, fp: __import__(
         "fateavatar_tpu.models", fromlist=["fateavatar_forward"]
     ).fateavatar_forward(
-        model, p, s, e, fp, frame.camera, render_cfg=render_cfg
+        model, p, s, e, fp, frame.camera,
+        render_cfg=render_cfg.replace(bwd_slots=False),
     )["rgb_image"])
     img = fwd(ts.params, ts.state, frame.expression, frame.flame_pose)
     img.block_until_ready()

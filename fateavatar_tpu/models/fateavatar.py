@@ -291,10 +291,11 @@ def fateavatar_inference(
     model, params, state, expression, flame_pose, camera,
     render_cfg: RenderConfig = RenderConfig(),
 ):
-    """GUI/reenactment path (fateavatar.py:297-366): same forward, image only."""
+    """GUI/reenactment path (fateavatar.py:297-366): same forward, image only.
+    Skips the gradient slot table (forward-only)."""
     out = fateavatar_forward(
         model, params, state, expression, flame_pose, camera,
-        render_cfg=render_cfg,
+        render_cfg=render_cfg.replace(bwd_slots=False),
     )
     return out["rgb_image"]
 
@@ -306,6 +307,7 @@ def fateavatar_visualization(
     """Diagnostic renders (fateavatar.py:368-594): posed, canonical-pose
     (front camera), densification-sample highlight, gradient heat."""
     cfg = model.cfg
+    render_cfg = render_cfg.replace(bwd_slots=False)  # forward-only renders
     out = fateavatar_forward(
         model, params, state, expression, flame_pose, camera,
         render_cfg=render_cfg,

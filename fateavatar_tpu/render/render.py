@@ -41,8 +41,22 @@ class RenderConfig:
     instance_budget: int = struct.field(pytree_node=False, default=0)  # 0 = 6N
     chunk: int = struct.field(pytree_node=False, default=64)
     impl: str = struct.field(pytree_node=False, default="auto")  # auto|pallas|xla
-    binning: str = struct.field(pytree_node=False, default="sort")  # sort|scan|count|twokey
+    # instance binning flavour: 'onesort' (default — one full-candidate
+    # stable sort, no scatters; fastest on TPU, see docs/STATUS_ROUND1.md),
+    # 'sort' (compaction scatter + short sort), 'scan', 'count', 'twokey',
+    # 'gather' — all bit-exact, kept A/B-able
+    binning: str = struct.field(pytree_node=False, default="onesort")
     count_block: int = struct.field(pytree_node=False, default=256)
+    # gradient-accumulation strategy for the instance gather's transpose.
+    # All three are bit-exact; A/B on the TPU v5e chained train step keeps
+    # XLA's plain scatter-add as default (17.0 it/s):
+    #   bwd_sorted_scatter — presort cotangent rows by gaussian id +
+    #     indices_are_sorted scatter; REJECTED (16.1 it/s — the permutation
+    #     row-gather costs more than collision serialization saves).
+    #   bwd_slots — [N, R] slot table built in binning, reduce by gather;
+    #     REJECTED (13.8 it/s — slot build + [N,R,16] row gather dominate).
+    bwd_sorted_scatter: bool = struct.field(pytree_node=False, default=False)
+    bwd_slots: bool = struct.field(pytree_node=False, default=False)
     # pallas kernel flavour: 'instances' = CUDA-layout flat ranges (no per-
     # tile cap, less data movement); 'tiles' = dense [T, K] lists
     kernel: str = struct.field(pytree_node=False, default="instances")
@@ -51,6 +65,66 @@ class RenderConfig:
         if self.impl != "auto":
             return self.impl
         return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+@jax.custom_vjp
+def _take_packed(packed, ids, slots):
+    """Instance gather with a scatter-free transpose.
+
+    Forward: plain row gather ``packed[ids].T`` ([N+1, C] -> [C, M]).
+    Backward: instead of XLA's gather-transpose (a scatter-add that lowers
+    to a SERIAL per-update loop on TPU, ~14 ms at 411k instances), sum each
+    gaussian's <= R per-instance gradient rows through the precomputed
+    ``slots`` table — pure gathers + a reduction."""
+    del slots
+    return jnp.take(packed, ids, axis=0).T
+
+
+def _take_packed_fwd(packed, ids, slots):
+    return _take_packed(packed, ids, slots), (slots, packed.shape[0])
+
+
+def _take_packed_bwd(res, g):
+    slots, n_rows = res                       # slots [N, R]; g [C, M]
+    gt = jnp.concatenate(
+        [g.T, jnp.zeros((1, g.shape[0]), g.dtype)], axis=0
+    )                                          # [M + 1, C], zero sentinel row
+    gsum = jnp.sum(gt[jnp.minimum(slots, gt.shape[0] - 1)], axis=1)  # [N, C]
+    gpacked = jnp.concatenate(
+        [gsum, jnp.zeros((n_rows - gsum.shape[0], g.shape[0]), g.dtype)],
+        axis=0,
+    )
+    return gpacked, None, None
+
+
+_take_packed.defvjp(_take_packed_fwd, _take_packed_bwd)
+
+
+@jax.custom_vjp
+def _take_packed_sorted(packed, ids):
+    """Instance gather whose transpose presorts updates by target row.
+
+    XLA's default gather-transpose emits an unsorted scatter-add that
+    serializes per update on TPU (~14 ms at 411k spatially-clustered
+    instances). Sorting the cotangent rows by gaussian id first (sorts are
+    ~40x cheaper than scatters here) lets the scatter run with
+    ``indices_are_sorted`` as a segmented reduction."""
+    return jnp.take(packed, ids, axis=0).T
+
+
+def _take_packed_sorted_fwd(packed, ids):
+    return _take_packed_sorted(packed, ids), (ids, packed.shape[0])
+
+
+def _take_packed_sorted_bwd(res, g):
+    ids, n_rows = res                          # g [C, M]
+    perm = jnp.argsort(ids)
+    gpacked = jnp.zeros((n_rows, g.shape[0]), g.dtype).at[ids[perm]].add(
+        g.T[perm], indices_are_sorted=True)
+    return gpacked, None
+
+
+_take_packed_sorted.defvjp(_take_packed_sorted_fwd, _take_packed_sorted_bwd)
 
 
 def render(
@@ -100,6 +174,10 @@ def render(
             blend_instances_pallas,
         )
 
+        sort_mode = (config.binning
+                     if config.binning in ("twokey", "count", "gather",
+                                           "onesort")
+                     else "stable")
         ilists = binning.build_instance_lists(
             jax.lax.stop_gradient(mean2d),
             jax.lax.stop_gradient(prep.depth),
@@ -107,10 +185,10 @@ def render(
             max_tiles_per_gaussian=config.max_tiles_per_gaussian,
             instance_budget=config.instance_budget,
             chunk=INST_CHUNK,
-            sort_mode=(config.binning
-                       if config.binning in ("twokey", "count", "gather")
-                       else "stable"),
+            sort_mode=sort_mode,
             count_block=config.count_block,
+            return_slots=(config.bwd_slots
+                          and sort_mode in ("stable", "onesort")),
         )
         n = mean2d.shape[0]
         packed = jnp.concatenate([
@@ -121,7 +199,12 @@ def render(
             [packed, jnp.zeros((1, 16), jnp.float32)], axis=0
         )  # sentinel row (valid = 0)
         ids = jnp.where(ilists.instances >= 0, ilists.instances, n)
-        inst_data = jnp.take(packed, ids, axis=0).T   # [16, M]
+        if ilists.slots is not None:
+            inst_data = _take_packed(packed, ids, ilists.slots)  # [16, M]
+        elif config.bwd_sorted_scatter:
+            inst_data = _take_packed_sorted(packed, ids)         # [16, M]
+        else:
+            inst_data = jnp.take(packed, ids, axis=0).T          # [16, M]
         img_tiles, t_final = blend_instances_pallas(
             inst_data, ilists.tile_starts, bg_color, grid,
             impl == "pallas_interpret",

@@ -48,8 +48,8 @@ def main():
 
     variants = [
         ("inst R16 stable", RenderConfig(max_tiles_per_gaussian=16)),
-        ("inst R16 gather", RenderConfig(max_tiles_per_gaussian=16,
-                                         binning="gather")),
+        ("inst R16 onesort", RenderConfig(max_tiles_per_gaussian=16,
+                                          binning="onesort")),
     ]
 
     for name, rc in variants:

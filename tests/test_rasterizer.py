@@ -303,11 +303,45 @@ class TestTileBlend:
             b = binning.build_instance_lists(
                 prep.mean2d, prep.depth, prep.radius, grid,
                 sort_mode="gather", **kw)
+            c = binning.build_instance_lists(
+                prep.mean2d, prep.depth, prep.radius, grid,
+                sort_mode="onesort", **kw)
             np.testing.assert_array_equal(np.asarray(a.instances),
-                                          np.asarray(b.instances))
+                                          np.asarray(c.instances))
             np.testing.assert_array_equal(np.asarray(a.tile_starts),
-                                          np.asarray(b.tile_starts))
-            assert int(a.overflow) == int(b.overflow)
+                                          np.asarray(c.tile_starts))
+            assert int(a.overflow) == int(c.overflow)
+
+    def test_slot_table_grads_match_scatter_add(self):
+        """The scatter-free slot-table VJP (RenderConfig.bwd_slots) equals
+        XLA's gather-transpose scatter-add, including under budget overflow
+        (dropped instances -> sentinel slots)."""
+        cam, g, bg = make_scene(60, seed=27)
+
+        def loss(cfg, gg):
+            return jnp.sum(render(cam, gg, bg, config=cfg)["render"] ** 2)
+
+        diff_fields = ("xyz", "scaling", "rotation", "opacity", "features_dc")
+        sub = {f: getattr(g, f) for f in diff_fields}
+
+        def wrap(cfg):
+            return jax.grad(lambda d: loss(cfg, g.replace(**d)))
+
+        for budget in (64, 60 * 36):
+            kw = dict(impl="pallas_interpret", kernel="instances",
+                      instance_budget=budget)
+            for mode in ("onesort", "sort"):
+                kw["binning"] = mode
+                ga = wrap(RenderConfig(bwd_slots=True, **kw))(sub)
+                gb = wrap(RenderConfig(bwd_sorted_scatter=False, **kw))(sub)
+                gc = wrap(RenderConfig(**kw))(sub)   # sorted-scatter default
+                for f in diff_fields:
+                    np.testing.assert_allclose(
+                        np.asarray(ga[f]), np.asarray(gb[f]), atol=1e-6,
+                        err_msg=f"slots {mode} budget={budget} field={f}")
+                    np.testing.assert_allclose(
+                        np.asarray(gc[f]), np.asarray(gb[f]), atol=1e-6,
+                        err_msg=f"sorted {mode} budget={budget} field={f}")
 
     def test_instance_kernel_grads_match_xla(self):
         cam, g, bg = make_scene(40, seed=21)
