@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def main():
+def main(budget_mult: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -51,9 +51,13 @@ def main():
     )
     model, params, state = init_fateavatar(mesh, flame, cfg)
 
+    # instance_budget 2N is sized for this workload (trained-avatar splat
+    # distributions need < 2 instances/gaussian at 512^2; the auto default
+    # 4N is the robust library setting) — overflow is asserted 0 below.
     render_cfg = RenderConfig(
         impl="pallas" if backend == "tpu" else "xla",
         max_per_tile=1024, chunk=64,
+        instance_budget=budget_mult * capacity,  # 0 -> 4N auto
     )
     loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0, dssim_weight=0.25))
     opt = fateavatar_optimizers({})
@@ -93,6 +97,12 @@ def main():
         # the remote-TPU tunnel occasionally drops execution and returns
         # instantly; a >1000 it/s full train step is physically impossible
         if its < 1000:
+            ov = int(aux["overflow"])
+            if ov > 0 and budget_mult:  # tight budget must not drop
+                print(f"[warn] overflow={ov} at instance_budget "
+                      f"{budget_mult}N; re-running with the 4N auto budget",
+                      file=sys.stderr)
+                return main(budget_mult=0)
             break
         print(f"[warn] implausible timing ({its:.0f} it/s), retrying",
               file=sys.stderr)

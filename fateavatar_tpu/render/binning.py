@@ -171,7 +171,7 @@ def build_tile_lists(
 
 @partial(jax.jit, static_argnames=(
     "grid", "max_tiles_per_gaussian", "instance_budget", "chunk", "sort_mode",
-    "count_block", "return_slots"))
+    "count_block", "return_slots", "relayout"))
 def build_instance_lists(
     mean2d: jax.Array,
     depth: jax.Array,
@@ -183,6 +183,7 @@ def build_instance_lists(
     sort_mode: str = "stable",
     count_block: int = 512,
     return_slots: bool = False,
+    relayout: str = "scatter",
 ) -> InstanceLists:
     """Flat instance binning for the instance-range blend kernel: the same
     depth-sort + candidate expansion + compaction + stable tile sort as
@@ -451,8 +452,22 @@ def build_instance_lists(
         in_range, aligned_starts[jnp.clip(tile_of, 0, num_tiles - 1)] + rank,
         M_out,
     )
-    instances = jnp.full((M_out + 1,), -1, jnp.int32).at[dst].set(
-        sort_gauss, mode="drop")[:M_out]
+    if relayout == "gather":
+        # invert the (tile, rank) -> slot map instead of scattering: the
+        # per-slot tile comes from a searchsorted over the SMALL (T+1)
+        # starts array (fast, unlike large-array searchsorted), the rest
+        # are gathers — scatters serialize on TPU, gathers don't.
+        o_idx = jnp.arange(M_out, dtype=jnp.int32)
+        t_of_o = (jnp.searchsorted(
+            aligned_starts, o_idx, side="right") - 1).astype(jnp.int32)
+        t_clip = jnp.clip(t_of_o, 0, num_tiles - 1)
+        rank_o = o_idx - aligned_starts[t_clip]
+        src = jnp.minimum(raw_starts[t_clip] + rank_o, M - 1)
+        keep = (rank_o < counts[t_clip]) & (o_idx < aligned_starts[num_tiles])
+        instances = jnp.where(keep, sort_gauss[src], -1)
+    else:
+        instances = jnp.full((M_out + 1,), -1, jnp.int32).at[dst].set(
+            sort_gauss, mode="drop")[:M_out]
 
     slots = None
     if return_slots:

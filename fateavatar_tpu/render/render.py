@@ -57,6 +57,9 @@ class RenderConfig:
     #     REJECTED (13.8 it/s — slot build + [N,R,16] row gather dominate).
     bwd_sorted_scatter: bool = struct.field(pytree_node=False, default=False)
     bwd_slots: bool = struct.field(pytree_node=False, default=False)
+    # re-layout of sorted instances into the chunk-aligned array:
+    # 'scatter' (XLA scatter) or 'gather' (small-searchsorted inverse map)
+    relayout: str = struct.field(pytree_node=False, default="scatter")
     # pallas kernel flavour: 'instances' = CUDA-layout flat ranges (no per-
     # tile cap, less data movement); 'tiles' = dense [T, K] lists
     kernel: str = struct.field(pytree_node=False, default="instances")
@@ -189,6 +192,7 @@ def render(
             count_block=config.count_block,
             return_slots=(config.bwd_slots
                           and sort_mode in ("stable", "onesort")),
+            relayout=config.relayout,
         )
         n = mean2d.shape[0]
         packed = jnp.concatenate([

@@ -73,20 +73,25 @@ def d_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11):
     k_w = jnp.broadcast_to(g1d.reshape(1, 1, 1, window_size),
                            (c, 1, 1, window_size))
 
-    def conv(im):
-        im = jax.lax.conv_general_dilated(
-            im, k_h, (1, 1), "SAME", feature_group_count=c,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
-        return jax.lax.conv_general_dilated(
-            im, k_w, (1, 1), "SAME", feature_group_count=c,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
-    mu1, mu2 = conv(x), conv(y)
+    # all five windowed sums in ONE grouped conv pair (15 channels) instead
+    # of five separate 3-channel conv pairs — fewer, wider TPU convs
+    stacked = jnp.concatenate([x, y, x * x, y * y, x * y], axis=1)
+    cs = 5 * c
+    kh = jnp.broadcast_to(k_h[:1], (cs, 1, window_size, 1))
+    kw = jnp.broadcast_to(k_w[:1], (cs, 1, 1, window_size))
+    blurred = jax.lax.conv_general_dilated(
+        stacked, kh, (1, 1), "SAME", feature_group_count=cs,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    blurred = jax.lax.conv_general_dilated(
+        blurred, kw, (1, 1), "SAME", feature_group_count=cs,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    mu1, mu2 = blurred[:, :c], blurred[:, c:2 * c]
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = conv(x * x) - mu1_sq
-    s2 = conv(y * y) - mu2_sq
-    s12 = conv(x * y) - mu12
+    s1 = blurred[:, 2 * c:3 * c] - mu1_sq
+    s2 = blurred[:, 3 * c:4 * c] - mu2_sq
+    s12 = blurred[:, 4 * c:] - mu12
     C1, C2 = 0.01**2, 0.03**2
     ssim = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)

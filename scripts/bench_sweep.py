@@ -46,10 +46,15 @@ def main():
         bg_color=jnp.ones(3),
     )
 
+    n_splats = 70_000
     variants = [
-        ("inst R16 stable", RenderConfig(max_tiles_per_gaussian=16)),
-        ("inst R16 onesort", RenderConfig(max_tiles_per_gaussian=16,
-                                          binning="onesort")),
+        ("onesort 2N", RenderConfig(max_tiles_per_gaussian=16,
+                                    instance_budget=2 * n_splats)),
+        ("2.5N gatherlay", RenderConfig(max_tiles_per_gaussian=16,
+                                        instance_budget=(5 * n_splats) // 2,
+                                        relayout="gather")),
+        ("2.5N scatterlay", RenderConfig(max_tiles_per_gaussian=16,
+                                         instance_budget=(5 * n_splats) // 2)),
     ]
 
     for name, rc in variants:

@@ -106,3 +106,44 @@ class TestProfiling:
         f = jax.jit(lambda x: x * 2)
         dt = time_fn(f, jnp.ones(16), warmup=1, iters=3)
         assert dt > 0
+
+
+class TestDSSIM:
+    def test_separable_matches_dense_2d_window(self):
+        """The two-pass 1-D formulation (and the 15-channel batched conv)
+        must equal a dense 11x11 2-D Gaussian-window SSIM reference
+        (tools/loss_utils/dssim.py:28-58 semantics)."""
+        import jax
+        import jax.numpy as jnp
+
+        from fateavatar_tpu.train.losses import _gaussian_window_1d, d_ssim
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.random((32, 32, 3)), jnp.float32)
+        b = jnp.clip(a + 0.1 * jnp.asarray(rng.random((32, 32, 3)),
+                                           jnp.float32), 0, 1)
+
+        g1 = np.asarray(_gaussian_window_1d(11))
+        w2d = np.outer(g1, g1)
+        k = jnp.asarray(
+            np.broadcast_to(w2d[None, None], (3, 1, 11, 11)), jnp.float32)
+
+        def conv2d(im):
+            return jax.lax.conv_general_dilated(
+                im.transpose(2, 0, 1)[None], k, (1, 1), "SAME",
+                feature_group_count=3,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
+
+        mu1, mu2 = conv2d(a), conv2d(b)
+        s1 = conv2d(a * a) - mu1 * mu1
+        s2 = conv2d(b * b) - mu2 * mu2
+        s12 = conv2d(a * b) - mu1 * mu2
+        C1, C2 = 0.01**2, 0.03**2
+        ssim = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+            (mu1 * mu1 + mu2 * mu2 + C1) * (s1 + s2 + C2))
+        expected = 1.0 - float(jnp.mean(ssim))
+
+        got = float(d_ssim(a, b))
+        assert abs(got - expected) < 1e-5, (got, expected)
+        assert float(d_ssim(a, a)) < 1e-6  # identical images -> 0
