@@ -171,7 +171,7 @@ def build_tile_lists(
 
 @partial(jax.jit, static_argnames=(
     "grid", "max_tiles_per_gaussian", "instance_budget", "chunk", "sort_mode",
-    "count_block", "return_slots", "relayout"))
+    "count_block", "return_slots", "relayout", "layout"))
 def build_instance_lists(
     mean2d: jax.Array,
     depth: jax.Array,
@@ -184,6 +184,7 @@ def build_instance_lists(
     count_block: int = 512,
     return_slots: bool = False,
     relayout: str = "scatter",
+    layout: str = "aligned",
 ) -> InstanceLists:
     """Flat instance binning for the instance-range blend kernel: the same
     depth-sort + candidate expansion + compaction + stable tile sort as
@@ -438,6 +439,20 @@ def build_instance_lists(
         sort_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
     counts = raw_starts[1:] - raw_starts[:-1]
+
+    if layout == "compact":
+        # NO re-layout at all: the tile-sorted array IS the instance array
+        # and the raw (unaligned) searchsorted offsets are the ranges — the
+        # blend kernel masks window heads/tails by position. Kills both the
+        # chunk padding (1/3 of the downstream gather/scatter volume) and
+        # the re-layout scatter.
+        if return_slots:
+            raise NotImplementedError("slots not supported with compact")
+        return InstanceLists(
+            instances=sort_gauss,
+            tile_starts=raw_starts,
+            overflow=dropped, grid=grid,
+        )
 
     # chunk-aligned re-layout
     padded = ((counts + chunk - 1) // chunk) * chunk

@@ -92,10 +92,17 @@ def _fwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
     t = pl.program_id(0)
     px, py = _pixels(grid_x, t)
     s = starts_ref[t]
-    nchunk = (starts_ref[t + 1] - s) // CHUNK
+    e = starts_ref[t + 1]
+    # window the [s, e) range with CHUNK-aligned DMAs; with the compact
+    # (unaligned) layout the head/tail of a window holds NEIGHBOUR tiles'
+    # instances, masked out by position below. With the aligned layout the
+    # mask is a no-op (s is CHUNK-aligned and [s, e) covers whole chunks).
+    win0 = (s // CHUNK) * CHUNK
+    nchunk = (e - win0 + CHUNK - 1) // CHUNK
+    sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
     def get_dma(slot, i):
-        off = pl.multiple_of(s + i * CHUNK, CHUNK)
+        off = pl.multiple_of(win0 + i * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(off, CHUNK)],
             scratch.at[slot],
@@ -116,7 +123,10 @@ def _fwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
 
         get_dma(slot, i).wait()
         data = scratch[slot].T                      # [CHUNK, 16]
+        pos = win0 + i * CHUNK + sub
+        in_range = ((pos >= s) & (pos < e)).astype(jnp.float32)
         alpha, _, _, _, _, _, _ = _chunk_math(data, px, py)
+        alpha = alpha * in_range
         om = 1.0 - alpha
         t_incl = _cumprod_sublanes(om)
         t_excl = t_incl / om
@@ -139,21 +149,30 @@ def _fwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
 
 
 def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
-                gimg_ref, gtfin_ref, gout_ref,
+                gimg_ref, gtfin_ref, gout_init_ref, gout_ref, bnd_ref,
                 scratch, out_scratch, sems, out_sem,
                 *, grid_x: int):
+    del gout_init_ref  # aliased zeros -> gout_ref (fills coverage holes)
     t = pl.program_id(0)
     px, py = _pixels(grid_x, t)
     s = starts_ref[t]
-    nchunk = (starts_ref[t + 1] - s) // CHUNK
+    e = starts_ref[t + 1]
+    win0 = (s // CHUNK) * CHUNK
+    nchunk = (e - win0 + CHUNK - 1) // CHUNK
+    sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
     img = img_ref[0]
     t_n = tfin_ref[0]              # [1, P]
     g_img = gimg_ref[0]
     g_tfin = gtfin_ref[0]
 
+    # chunk 0's window can straddle the previous tile's range (compact
+    # layout), so its gradients go to a private per-tile boundary buffer
+    # (merged with a segment-sum outside); chunks >= 1 DMA straight out.
+    bnd_ref[0] = jnp.zeros((ROW, CHUNK), jnp.float32)
+
     def get_dma(slot, i):
-        off = pl.multiple_of(s + i * CHUNK, CHUNK)
+        off = pl.multiple_of(win0 + i * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(off, CHUNK)],
             scratch.at[slot],
@@ -174,9 +193,13 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
 
         get_dma(slot, i).wait()
         data = scratch[slot].T                      # [CHUNK, 16]
+        pos = win0 + i * CHUNK + sub
+        in_range = (pos >= s) & (pos < e)
         alpha, raw, keep, dx, dy, (ca, cb, cc), exp_power = _chunk_math(
             data, px, py
         )
+        alpha = jnp.where(in_range, alpha, 0.0)
+        keep = keep & in_range
         om = 1.0 - alpha
         t_incl = _cumprod_sublanes(om)
         t_excl = t_incl / om
@@ -223,24 +246,30 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
             g_op,
             jnp.zeros((CHUNK, ROW - 9), jnp.float32),
         ], axis=1)                                   # [CHUNK, 16]
-        # double-buffered gradient write-back: wait for the DMA that last
-        # used this slot (2 iterations ago) before overwriting it
+        # chunk 0 -> boundary buffer; chunks >= 1 -> double-buffered DMA
+        # (wait for the DMA that last used this slot before overwriting)
         oslot = i % 2
 
         def out_dma_for(j, sl):
-            off = pl.multiple_of(s + j * CHUNK, CHUNK)
+            off = pl.multiple_of(win0 + j * CHUNK, CHUNK)
             return pltpu.make_async_copy(
                 out_scratch.at[sl],
                 gout_ref.at[:, pl.ds(off, CHUNK)],
                 out_sem.at[sl],
             )
 
-        @pl.when(i >= 2)
+        @pl.when(i == 0)
+        def _():
+            bnd_ref[0] = grows.T                     # [16, CHUNK]
+
+        @pl.when(i >= 3)
         def _():
             out_dma_for(i - 2, oslot).wait()
 
-        out_scratch[oslot] = grows.T                 # [16, CHUNK]
-        out_dma_for(i, oslot).start()
+        @pl.when(i >= 1)
+        def _():
+            out_scratch[oslot] = grows.T             # [16, CHUNK]
+            out_dma_for(i, oslot).start()
 
         t_carry = t_carry * t_incl[CHUNK - 1 : CHUNK, :]
         return (t_carry, pr[CHUNK - 1 : CHUNK], pg[CHUNK - 1 : CHUNK],
@@ -251,11 +280,11 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
     )
     jax.lax.fori_loop(0, nchunk, body, init)
 
-    # drain outstanding gradient write-backs
+    # drain outstanding gradient write-backs (only chunks >= 1 DMA'd)
     def drain(j):
-        @pl.when(j >= 0)
+        @pl.when(j >= 1)
         def _():
-            off = pl.multiple_of(s + j * CHUNK, CHUNK)
+            off = pl.multiple_of(win0 + j * CHUNK, CHUNK)
             pltpu.make_async_copy(
                 out_scratch.at[j % 2],
                 gout_ref.at[:, pl.ds(off, CHUNK)],
@@ -317,8 +346,13 @@ def _call_bwd(inst_data, tile_starts, bg, img_tiles, t_final, g_img, g_tfin,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 3), lambda t, s: (0, 0), memory_space=pltpu.VMEM),
             tile3, tile1, tile3, tile1,
+            pl.BlockSpec(memory_space=pl.ANY),      # gout init (aliased)
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, ROW, CHUNK), lambda t, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
             pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
@@ -326,15 +360,29 @@ def _call_bwd(inst_data, tile_starts, bg, img_tiles, t_final, g_img, g_tfin,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    (gout,) = pl.pallas_call(
+    gout, bnd = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((ROW, M), jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((ROW, M), jnp.float32),
+            jax.ShapeDtypeStruct((T, ROW, CHUNK), jnp.float32),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={7: 0},   # zeros input -> gout (coverage holes)
     )(tile_starts.astype(jnp.int32), inst_data, bg.reshape(1, 3),
-      img_tiles, t_final[:, None, :], g_img, g_tfin[:, None, :])
-    # columns past the last aligned range are never written by any tile
+      img_tiles, t_final[:, None, :], g_img, g_tfin[:, None, :],
+      jnp.zeros((ROW, M), jnp.float32))
+    # merge each tile's boundary chunk (its first, possibly straddling,
+    # window) back in: one tiny segment-sum over window index + an add
+    n_win = (M + CHUNK - 1) // CHUNK
+    w_t = jnp.clip(tile_starts[:-1] // CHUNK, 0, n_win - 1)
+    merged = jax.ops.segment_sum(bnd, w_t, num_segments=n_win)
+    pad = n_win * CHUNK - M
+    gout_p = jnp.pad(gout, ((0, 0), (0, pad))) if pad else gout
+    gout = ((gout_p.reshape(ROW, n_win, CHUNK)
+             + merged.transpose(1, 0, 2)).reshape(ROW, n_win * CHUNK))[:, :M]
+    # columns past the last real instance are never owned by any tile
     total = tile_starts[-1]
     col_ids = jnp.arange(M, dtype=jnp.int32)[None, :]
     return jnp.where(col_ids < total, gout, 0.0)

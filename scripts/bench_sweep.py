@@ -48,13 +48,11 @@ def main():
 
     n_splats = 70_000
     variants = [
-        ("onesort 2N", RenderConfig(max_tiles_per_gaussian=16,
+        ("2N aligned", RenderConfig(max_tiles_per_gaussian=16,
                                     instance_budget=2 * n_splats)),
-        ("2.5N gatherlay", RenderConfig(max_tiles_per_gaussian=16,
-                                        instance_budget=(5 * n_splats) // 2,
-                                        relayout="gather")),
-        ("2.5N scatterlay", RenderConfig(max_tiles_per_gaussian=16,
-                                         instance_budget=(5 * n_splats) // 2)),
+        ("2N compact", RenderConfig(max_tiles_per_gaussian=16,
+                                    instance_budget=2 * n_splats,
+                                    layout="compact")),
     ]
 
     for name, rc in variants:

@@ -312,6 +312,41 @@ class TestTileBlend:
                                           np.asarray(c.tile_starts))
             assert int(a.overflow) == int(c.overflow)
 
+    def test_compact_layout_matches_aligned(self):
+        """layout='compact' (raw unaligned ranges + in-kernel position
+        masking + boundary-chunk merge) reproduces the aligned layout's
+        image and gradients, incl. under budget overflow."""
+        for seed, budget in ((30, 60 * 36), (31, 256)):
+            cam, g, bg = make_scene(60, seed=seed)
+            if seed == 31:
+                g = g.replace(alive=g.alive.at[::3].set(False))
+            kw = dict(impl="pallas_interpret", kernel="instances",
+                      instance_budget=budget)
+            ref = render(cam, g, bg, config=RenderConfig(layout="aligned",
+                                                         **kw))
+            got = render(cam, g, bg, config=RenderConfig(layout="compact",
+                                                         **kw))
+            np.testing.assert_allclose(np.asarray(got["render"]),
+                                       np.asarray(ref["render"]), atol=1e-6)
+
+            diff_fields = ("xyz", "scaling", "rotation", "opacity",
+                           "features_dc")
+            sub = {f: getattr(g, f) for f in diff_fields}
+
+            def loss(cfg, d):
+                out = render(cam, g.replace(**d), bg, config=cfg)
+                return (jnp.mean(out["render"] ** 2)
+                        + jnp.mean(out["t_final"]))
+
+            ga = jax.grad(lambda d: loss(
+                RenderConfig(layout="compact", **kw), d))(sub)
+            gb = jax.grad(lambda d: loss(
+                RenderConfig(layout="aligned", **kw), d))(sub)
+            for f in diff_fields:
+                np.testing.assert_allclose(
+                    np.asarray(ga[f]), np.asarray(gb[f]), atol=1e-6,
+                    err_msg=f"budget={budget} field={f}")
+
     def test_slot_table_grads_match_scatter_add(self):
         """The scatter-free slot-table VJP (RenderConfig.bwd_slots) equals
         XLA's gather-transpose scatter-add, including under budget overflow
