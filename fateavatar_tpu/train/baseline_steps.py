@@ -193,6 +193,9 @@ def make_flashavatar_step(model, net, loss_fn, optimizer: MultiAdam,
         )
         gt = {"rgb": frame.rgb}
         losses = loss_fn(out, gt)
+        losses = dict(losses)
+        losses["psnr"] = -10.0 * jnp.log10(
+            jnp.mean((out["rgb_image"] - frame.rgb) ** 2))
         return losses["loss"], losses
 
     grad_fn = jax.grad(loss_of, has_aux=True)
@@ -234,6 +237,9 @@ def make_splattingavatar_step(model, loss_fn, optimizer: MultiAdam,
             frame.camera, bg_color=frame.bg_color, render_cfg=render_cfg,
         )
         losses = loss_fn(out, {"rgb": frame.rgb})
+        losses = dict(losses)
+        losses["psnr"] = -10.0 * jnp.log10(
+            jnp.mean((out["rgb_image"] - frame.rgb) ** 2))
         return losses["loss"], losses
 
     grad_fn = jax.grad(loss_of, has_aux=True)
@@ -285,6 +291,9 @@ def make_monogaussianavatar_step(model, nets, loss_fn, optimizer: MultiAdam,
             frame.camera, bg_color=frame.bg_color, render_cfg=render_cfg,
         )
         losses = loss_fn(out, {"rgb": frame.rgb})
+        losses = dict(losses)
+        losses["psnr"] = -10.0 * jnp.log10(
+            jnp.mean((out["rgb_image"] - frame.rgb) ** 2))
         return losses["loss"], (losses, out["visible_now"])
 
     grad_fn = jax.grad(loss_of, has_aux=True)

@@ -66,6 +66,7 @@ class Trainer:
         snapshot_interval: int = 1000,
         max_keep_ckpt: int = 2,
         seed: int = 0,
+        adapter=None,
     ):
         self.name = name
         self.model = model
@@ -83,10 +84,33 @@ class Trainer:
         self.epoch = 0
         self.global_step = 0
 
-        self.train_step = make_train_step(
-            model, loss_fn, optimizer, maint_cfg, render_cfg
-        )
-        self.ts: TrainState = init_train_state(params, state, optimizer, seed)
+        # family adapter (train/adapters.py): None -> built-in FateAvatar
+        # wiring; otherwise any registry family trains through this Trainer
+        # (the reference's per-model hook dicts, train/trainer.py:79-101)
+        self.adapter = adapter
+        if adapter is None:
+            self.train_step = make_train_step(
+                model, loss_fn, optimizer, maint_cfg, render_cfg
+            )
+            self.ts: TrainState = init_train_state(
+                params, state, optimizer, seed)
+
+            def _forward(p, st, expr, pose, camera):
+                return fateavatar_forward(
+                    model, p, st, expr, pose, camera,
+                    bg_color=self.bg_color, render_cfg=render_cfg,
+                )
+
+            self._forward = _forward
+            self._visualize = lambda p, st, expr, pose, camera: (
+                fateavatar_visualization(model, p, st, expr, pose, camera,
+                                         render_cfg=render_cfg))
+        else:
+            self.train_step = adapter.step
+            self.ts = adapter.init_ts(seed)
+            self._forward = lambda p, st, expr, pose, camera: adapter.forward(
+                p, st, expr, pose, camera, self.bg_color)
+            self._visualize = adapter.visualize
 
         # media dirs (train/trainer.py:107-134)
         self.media_dirs = {}
@@ -153,10 +177,7 @@ class Trainer:
                 R, cam_t, fovx, fovy,
                 model.cfg.img_width, model.cfg.img_height,
             )
-            out = fateavatar_forward(
-                model, params, mstate, expr, pose, camera,
-                bg_color=self.bg_color, render_cfg=render_cfg,
-            )
+            out = self._forward(params, mstate, expr, pose, camera)
             return loss_fn(out, {"rgb": rgb})["loss"]
 
         return make_tracking_step(loss_of_frame, self.track_opt)
@@ -169,6 +190,8 @@ class Trainer:
         for _ in range(self.epoch + 1, max_epochs + 1):
             self.epoch += 1
             self.train_epoch()
+            if self.adapter is not None and self.adapter.epoch_hook:
+                self.adapter.epoch_hook(self, self.epoch)
             self.save_checkpoint()
 
     def train_epoch(self):
@@ -187,8 +210,9 @@ class Trainer:
         def flush():
             for a in jax.device_get(pending):
                 meters["loss"].update(float(a["loss"]))
-                meters["psnr"].update(float(a["psnr"]))
-                if int(a["overflow"]) > 0:
+                if "psnr" in a:
+                    meters["psnr"].update(float(a["psnr"]))
+                if int(a.get("overflow", 0)) > 0:
                     self.logger.file_only(
                         f"[WARN] {int(a['overflow'])} tile instances dropped "
                         "(raise max_per_tile)"
@@ -230,8 +254,9 @@ class Trainer:
         self.logger.log(
             f"[epoch {self.epoch}] {n} frames in {dt:.1f}s "
             f"({n / max(dt, 1e-9):.2f} it/s) | loss={meters['loss'].measure():.5f} "
-            f"PSNR={meters['psnr'].measure():.2f} "
-            f"alive={int(jnp.sum(self.ts.state.alive))}"
+            f"PSNR={meters['psnr'].measure():.2f}"
+            + (f" alive={int(jnp.sum(self.ts.state.alive))}"
+               if hasattr(self.ts.state, "alive") else "")
         )
 
     # ------------------------------------------------------------------
@@ -255,10 +280,8 @@ class Trainer:
             tables = self.test_tables if mode == "test" else self.train_tables
 
         fwd = jax.jit(
-            lambda p, s, e, fp, cam: fateavatar_forward(
-                self.model, p, s, e, fp, cam,
-                bg_color=self.bg_color, render_cfg=self.render_cfg,
-            )["rgb_image"]
+            lambda p, s, e, fp, cam:
+            self._forward(p, s, e, fp, cam)["rgb_image"]
         )
 
         # drop meters whose backing network weights are unavailable (LPIPS
@@ -371,10 +394,23 @@ class Trainer:
 
         tables = self.train_tables if self.tracking_enabled else None
         frame = self._make_frame(sample, tables)
-        vis = fateavatar_visualization(
-            self.model, self.ts.params, self.ts.state,
+        if self._visualize is None:  # families without diagnostic renders
+            out = self._forward(self.ts.params, self.ts.state,
+                                frame.expression, frame.flame_pose,
+                                frame.camera)
+            pred = np.asarray(out["rgb_image"])
+            gt = np.asarray(frame.rgb)
+            l1 = np.abs(pred - gt).mean(-1, keepdims=True)
+            heat = np.concatenate([l1, np.zeros_like(l1), 1.0 - l1], axis=-1)
+            save_image_grid(
+                os.path.join(self.media_dirs["snapshots"],
+                             f"step{self.global_step:08d}.png"),
+                [pred, gt, heat], cols=3,
+            )
+            return
+        vis = self._visualize(
+            self.ts.params, self.ts.state,
             frame.expression, frame.flame_pose, frame.camera,
-            render_cfg=self.render_cfg,
         )
         pred = np.asarray(vis["rgb_image"])
         gt = np.asarray(frame.rgb)
@@ -430,9 +466,8 @@ class Trainer:
         sample = self.train_dataset.sample(0)
         frame = self._make_frame(sample, None)
         fwd = jax.jit(
-            lambda e, p: fateavatar_forward(
-                self.model, self.ts.params, self.ts.state, e, p, frame.camera,
-                bg_color=self.bg_color, render_cfg=self.render_cfg,
+            lambda e, p: self._forward(
+                self.ts.params, self.ts.state, e, p, frame.camera
             )["rgb_image"]
         )
         img = fwd(frame.expression, frame.flame_pose)

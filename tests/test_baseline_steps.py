@@ -184,3 +184,48 @@ class TestRegistry:
 
         with pytest.raises(KeyError):
             registry.get("nonexistent")
+
+
+class TestAdapterTrainer:
+    """Any registry family drives the rich Trainer via a FamilyAdapter
+    (train/adapters.py — the reference's per-model trainer hooks,
+    train/trainer.py:79-101)."""
+
+    @pytest.mark.parametrize("name", ["gaussianavatars", "flashavatar"])
+    def test_family_through_trainer(self, tmp_path, flame, name):
+        from fateavatar_tpu.train import registry
+        from fateavatar_tpu.train.adapters import make_family_adapter
+        from fateavatar_tpu.train.datasets import SyntheticDataset
+        from fateavatar_tpu.train.trainer import Trainer
+
+        template = sphere_obj_mesh(96)
+        entry = registry.get(name)
+        model_cfg = dict(img_height=RES, img_width=RES, capacity=256,
+                         tex_size=8, num_samples=128, n_init_points=32,
+                         max_points=128, sh_degree=0,
+                         dataset_type="synthetic")
+        bundle = entry.build_model(template, flame, model_cfg)
+        loss_fn = entry.build_loss({}, bundle)
+        opt = entry.build_optimizer({})
+        adapter = make_family_adapter(name, bundle, loss_fn, opt,
+                                      RENDER_CFG, {"densify_interval": 10**9,
+                                                   "densify_from_iter": 10**9,
+                                                   "opacity_reset_interval":
+                                                   10**9})
+        state0 = (bundle[2]
+                  if len(bundle) > 2 and not callable(bundle[2]) else None)
+        ds = SyntheticDataset(num_frames=2, img_res=(RES, RES), n_exp=4)
+        trainer = Trainer(
+            name=name, model=bundle[0], params=bundle[1], state=state0,
+            loss_fn=loss_fn, optimizer=opt, train_dataset=ds,
+            test_dataset=SyntheticDataset(num_frames=2, img_res=(RES, RES),
+                                          n_exp=4, seed=1),
+            workspace=str(tmp_path / name), render_cfg=RENDER_CFG,
+            snapshot_interval=10**9, adapter=adapter,
+        )
+        trainer.train(1)
+        summary = trainer.evaluate("test")
+        assert np.isfinite(summary["psnr"])
+        # checkpoints round-trip through the adapter train state
+        trainer.load_checkpoint()
+        assert trainer.epoch == 1
