@@ -28,6 +28,7 @@ from flax import struct
 from fateavatar_tpu.flame.flame import FlameModel, flame_forward
 from fateavatar_tpu.ops import sampling
 from fateavatar_tpu.ops.camera import Camera, make_camera
+from fateavatar_tpu.ops.gathers import gather_rows
 from fateavatar_tpu.ops.knn import mean_knn_distance
 from fateavatar_tpu.ops.mesh import (
     compute_face_normals,
@@ -222,17 +223,28 @@ def build_gaussians(
     face_orien, face_scaling = compute_face_orientation(v, model.faces, return_scale=True)
     face_normals = compute_face_normals(v, model.faces)
 
+    # All face-level quantities (incl. the orientation quaternion — F faces,
+    # not N splats: ~34x less transcendental work) are packed into ONE
+    # [F, 17] matrix and gathered per splat with gather_rows, whose VJP is
+    # an MXU one-hot matmul. The naive per-quantity jnp.take transposes are
+    # collision-heavy 70k-update scatter-adds that serialize on TPU
+    # (~3.7 ms EACH in the device profile — docs/STATUS_ROUND1.md).
     ratio = face_scaling / model.face_scaling_canonical       # [F, 1]
-    g_ratio = jnp.take(ratio, state.face_index, axis=0)       # [N, 1]
-    g_orien = jnp.take(face_orien, state.face_index, axis=0)  # [N, 3, 3]
-    g_normal = jnp.take(face_normals, state.face_index, axis=0)
-
-    pos = reweight_verts_by_barycoords(
-        v, model.faces, state.face_index, state.bary_coords
-    )                                                         # [N, 3]
+    face_quat = matrix_to_quat(face_orien)                    # [F, 4]
+    tri = v[model.faces]                                      # [F, 3, 3]
+    F = tri.shape[0]
+    face_packed = jnp.concatenate([
+        face_quat, face_normals, ratio, tri.reshape(F, 9),
+    ], axis=1)                                                # [F, 17]
+    gp = gather_rows(face_packed, state.face_index)           # [N, 17]
+    g_quat = gp[:, 0:4]
+    g_normal = gp[:, 4:7]
+    g_ratio = gp[:, 7:8]
+    tri_n = gp[:, 8:17].reshape(-1, 3, 3)
+    pos = jnp.einsum("nk,nkd->nd", state.bary_coords, tri_n)  # [N, 3]
 
     xyz = pos + g_normal * cfg.normal_offset * jnp.tanh(params.offset)
-    rot = quat_multiply(matrix_to_quat(g_orien), params.rotation)
+    rot = quat_multiply(g_quat, params.rotation)
     scaling = params.scaling
     if cfg.resize_scale:
         scaling = scaling + jnp.log(jnp.maximum(g_ratio, 1e-12))
