@@ -54,11 +54,18 @@ def construct_flame(cfg: Config, dataset: Optional[FaceDataset]):
     else:
         n_shape, n_exp, shape_params, canonical_exp = 100, 50, None, None
     flame_data = load_flame_pickle(cfg.assets.flame_model_path)
+    lmk = None
+    lmk_path = getattr(cfg.assets, "landmark_embedding_path", None)
+    if lmk_path:
+        from fateavatar_tpu.flame.loader import load_landmark_embedding
+
+        lmk = load_landmark_embedding(lmk_path)
     return make_flame(
         flame_data, n_shape=n_shape, n_exp=n_exp,
         shape_params=shape_params,
         canonical_expression=canonical_exp,
         canonical_pose=cfg.dataset.canonical_pose,
+        landmark_embedding=lmk,
     )
 
 

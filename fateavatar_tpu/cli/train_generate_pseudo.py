@@ -19,6 +19,15 @@ def main(argv=None):
     parser.add_argument("--bisenet_weights", type=str, default=None,
                         help="face-parsing.PyTorch 79999_iter.pth; enables "
                              "native BiSeNet head masks for stage 8")
+    parser.add_argument("--eg3d_weights", type=str, default=None,
+                        help="EG3D/PanoHead-family G_ema state_dict "
+                             "(.pth/.npz); enables the real PTI GAN-"
+                             "inversion provider for stage 5/6")
+    parser.add_argument("--gfpgan_weights", type=str, default=None,
+                        help="GFPGANv1.3/1.4 checkpoint; enables native "
+                             "face restoration for stage 4")
+    parser.add_argument("--pti_w_steps", type=int, default=200)
+    parser.add_argument("--pti_g_steps", type=int, default=200)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -49,6 +58,33 @@ def main(argv=None):
             load_bisenet_from_torch(args.bisenet_weights)
         )
 
+    provider = None
+    if args.eg3d_weights:
+        from fateavatar_tpu.completion.eg3d import (
+            PTIConfig, load_eg3d_from_torch,
+        )
+        from fateavatar_tpu.completion.eg3d.provider import EG3DPseudoProvider
+        from fateavatar_tpu.train.losses import load_vgg16_from_torch
+
+        g_params, g_cfg = load_eg3d_from_torch(args.eg3d_weights)
+        vgg = None
+        if cfg.assets.vgg16_weights_path:
+            vgg = load_vgg16_from_torch(cfg.assets.vgg16_weights_path)
+        provider = EG3DPseudoProvider(
+            g_params, g_cfg,
+            PTIConfig(w_steps=args.pti_w_steps, pti_steps=args.pti_g_steps),
+            vgg_params=vgg, log_fn=print,
+        )
+
+    restorer_fn = None
+    if args.gfpgan_weights:
+        from fateavatar_tpu.completion.restoration import (
+            GFPGANRestorer, load_gfpgan_from_torch,
+        )
+
+        g_params, g_cfg, _ = load_gfpgan_from_torch(args.gfpgan_weights)
+        restorer_fn = GFPGANRestorer(g_params, g_cfg)
+
     gen = PseudoGenerator(
         model, loader.params, loader.state,
         PseudoGeneratorConfig(
@@ -57,7 +93,9 @@ def main(argv=None):
             out_dir=f"{args.workspace}/pseudo",
         ),
         render_cfg=common.render_config(cfg),
+        provider=provider,
         matting_fn=matting_fn,
+        restorer_fn=restorer_fn,
     )
     gen.run(identity["fovx"], identity["fovy"])
     print(f"pseudo views written to {args.workspace}/pseudo")

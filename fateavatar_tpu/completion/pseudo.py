@@ -90,6 +90,7 @@ class PseudoGenerator:
         render_cfg: RenderConfig = RenderConfig(),
         provider: Optional[PseudoViewProvider] = None,
         matting_fn: Optional[Callable] = None,
+        restorer_fn: Optional[Callable] = None,
         logger: Optional[Logger] = None,
     ):
         self.model = model
@@ -99,6 +100,7 @@ class PseudoGenerator:
         self.render_cfg = render_cfg
         self.provider = provider or MirrorPseudoProvider()
         self.matting_fn = matting_fn
+        self.restorer_fn = restorer_fn
         self.logger = logger or Logger("pseudo")
         os.makedirs(cfg.out_dir, exist_ok=True)
 
@@ -114,6 +116,7 @@ class PseudoGenerator:
             self.cfg.num_views, lookat, radius or self.cfg.orbit_radius,
             fovx, fovy, cfgm.img_width, cfgm.img_height,
         )
+        self._last_cams = cams          # reused by stage ② in run()
         expr = self.model.flame.canonical_exp[0]
         pose = self.model.flame.canonical_pose[0]
         fwd = jax.jit(lambda cam: fateavatar_forward(
@@ -130,6 +133,39 @@ class PseudoGenerator:
         np.save(os.path.join(self.cfg.out_dir, "c2w.npy"), c2ws)
         self.logger.log(f"[pseudo ①] {len(images)} orbit views -> {view_dir}")
         return np.stack(images), c2ws
+
+    # ------------------------------------------------------------------
+    # stage ②: keypoints (completion.py:253-303). The reference runs dlib's
+    # 68-landmark detector on its own renders; here the camera AND driving
+    # mesh are known, so the EXACT FLAME landmarks are projected instead
+    # (needs the landmark embedding asset; returns None without it).
+    # ------------------------------------------------------------------
+    def detect_keypoints(self, cams):
+        from fateavatar_tpu.flame.flame import flame_forward, flame_landmarks
+
+        flame = self.model.flame
+        if flame.lmk_faces_idx is None:
+            self.logger.log("[pseudo ②] no landmark embedding — skipped")
+            return None
+        verts, _, _ = flame_forward(
+            flame, flame.canonical_exp, flame.canonical_pose
+        )
+        lmk3d = flame_landmarks(flame, verts)[0]          # [68, 3]
+        out = []
+        for cam in cams:
+            p = lmk3d @ cam.full_proj[:, :3].T + cam.full_proj[:, 3]
+            ndc = p[:, :2] / jnp.maximum(p[:, 3:4], 1e-6)
+            px = (ndc * 0.5 + 0.5) * jnp.asarray(
+                [cam.width, cam.height], jnp.float32
+            )
+            visible = p[:, 3] > 0
+            out.append(np.concatenate(
+                [np.asarray(px), np.asarray(visible)[:, None]], axis=1
+            ))
+        kps = np.stack(out)                               # [V, 68, 3]
+        np.save(os.path.join(self.cfg.out_dir, "keypoints.npy"), kps)
+        self.logger.log(f"[pseudo ②] projected FLAME 68-kps for {len(cams)} views")
+        return kps
 
     # ------------------------------------------------------------------
     # stage ③/⑦: FFHQ-style crop and inverse paste-back (completion.py:305-498,
@@ -223,8 +259,16 @@ class PseudoGenerator:
         """Full pipeline (the stage flags of train_generate_pseudo.py:15-23
         collapse to one call here; stages are individually reusable)."""
         renders, c2ws = self.render_novel_view(fovx, fovy)
-        pseudo, angles = self.generate_pseudo_views(renders)
+        keypoints = self.detect_keypoints(self._last_cams)
+        if self.restorer_fn is not None:
+            # stage ④ (completion.py:500-562): restore the crops that feed
+            # the GAN-inversion provider (GFPGANRestorer or user enhancer)
+            renders_for_provider = self.restorer_fn(renders)
+            self.logger.log("[pseudo ④] crops restored")
+        else:
+            renders_for_provider = renders
+        pseudo, angles = self.generate_pseudo_views(renders_for_provider)
         masks = self.retrieve_masks(pseudo)
         self.heatmap_check(renders, pseudo)
         return {"renders": renders, "pseudo": pseudo, "masks": masks,
-                "angles": angles, "c2w": c2ws}
+                "angles": angles, "c2w": c2ws, "keypoints": keypoints}

@@ -42,6 +42,11 @@ class FlameModel:
     # canonical conditioning (FLAME.py:104-106)
     canonical_exp: jax.Array = None       # [1, n_exp]
     canonical_pose: jax.Array = None      # [1, 15]
+    # 68-point landmark embedding (FLAME.py:66-93 loads
+    # landmark_embedding.npy; the dynamic yaw-dependent contour variant is
+    # folded into the 'full' set here — completion only needs projected 68s)
+    lmk_faces_idx: jax.Array = None       # [L] int32 face per landmark
+    lmk_bary_coords: jax.Array = None     # [L, 3] barycentric weights
 
     @property
     def num_verts(self) -> int:
@@ -161,6 +166,34 @@ def flame_forward(
     return lbs(
         betas, full_pose, v_template, shapedirs, posedirs,
         model.j_regressor, parents, model.lbs_weights,
+    )
+
+
+def vertices2landmarks(
+    vertices: jax.Array,
+    faces: jax.Array,
+    lmk_faces_idx: jax.Array,
+    lmk_bary_coords: jax.Array,
+) -> jax.Array:
+    """Barycentric landmark extraction (flame/lbs.py:352-385).
+
+    vertices [B, V, 3], faces [F, 3], lmk_faces_idx [L], lmk_bary [L, 3]
+    -> [B, L, 3].
+    """
+    lmk_verts = vertices[:, faces[lmk_faces_idx]]        # [B, L, 3, 3]
+    return jnp.einsum("blfk,lf->blk", lmk_verts, lmk_bary_coords)
+
+
+def flame_landmarks(model: FlameModel, vertices: jax.Array) -> jax.Array:
+    """68-point landmarks of already-posed FLAME vertices [B, V, 3].
+
+    The native replacement for the completion pipeline's dlib keypoint
+    stage (train/completion.py:253-303): on the avatar's own renders the
+    camera AND the driving mesh are known, so exact FLAME landmarks beat a
+    detector."""
+    assert model.lmk_faces_idx is not None, "model has no landmark embedding"
+    return vertices2landmarks(
+        vertices, model.faces, model.lmk_faces_idx, model.lmk_bary_coords
     )
 
 

@@ -90,6 +90,25 @@ def load_flame_pickle(path: str):
     return out
 
 
+def load_landmark_embedding(path: str):
+    """Read the reference's ``landmark_embedding.npy`` (FLAME.py:66-93).
+
+    The file is a pickled dict with static (51), dynamic-contour (17 x 79
+    yaw bins) and full (68) barycentric embeddings; the full set is what the
+    completion keypoint stage consumes. Returns (faces_idx [68] int32,
+    bary [68, 3] float32)."""
+    raw = np.load(path, allow_pickle=True)
+    if raw.dtype == object:
+        raw = raw[()]
+    if isinstance(raw, dict):
+        faces = np.asarray(raw["full_lmk_faces_idx"]).reshape(-1)
+        bary = np.asarray(raw["full_lmk_bary_coords"]).reshape(-1, 3)
+    else:  # plain [L, 4] rows of (face_idx, b0, b1, b2)
+        faces = raw[:, 0]
+        bary = raw[:, 1:4]
+    return faces.astype(np.int32), bary.astype(np.float32)
+
+
 def make_flame(
     flame_data: dict,
     n_shape: int,
@@ -98,6 +117,7 @@ def make_flame(
     canonical_expression: Optional[np.ndarray] = None,
     canonical_pose: float = 0.0,
     factor: float = 1.0,
+    landmark_embedding: Optional[tuple] = None,
 ) -> FlameModel:
     """Assemble a :class:`FlameModel` the way the reference does
     (flame/FLAME.py:56-129): slice shapedirs to [n_shape | 300:300+n_exp],
@@ -144,6 +164,10 @@ def make_flame(
         n_exp=n_exp,
         canonical_exp=jnp.asarray(canonical_exp),
         canonical_pose=jnp.asarray(cpose),
+        lmk_faces_idx=(jnp.asarray(landmark_embedding[0])
+                       if landmark_embedding is not None else None),
+        lmk_bary_coords=(jnp.asarray(landmark_embedding[1])
+                         if landmark_embedding is not None else None),
     )
 
 
@@ -194,5 +218,8 @@ def synthetic_flame(
         "f": faces,
         "kintree_table": np.array([[-1, 0, 1, 1, 1], [0, 1, 2, 3, 4]], np.int64),
     }
+    lmk_faces = rng.integers(0, len(faces), size=68).astype(np.int32)
+    lmk_bary = rng.dirichlet(np.ones(3), size=68).astype(np.float32)
     return make_flame(data, n_shape=n_shape, n_exp=n_exp,
-                      canonical_pose=canonical_pose)
+                      canonical_pose=canonical_pose,
+                      landmark_embedding=(lmk_faces, lmk_bary))

@@ -40,11 +40,15 @@ def _gather_rows_bwd(chunk, res, g):
     nb = idx_p.shape[0] // chunk
     f_ids = jnp.arange(F, dtype=idx.dtype)
 
+    # bf16 one-hot on TPU (0/1 exact, MXU-native); f32 on CPU, whose XLA
+    # thunk runtime lacks the BF16 x BF16 = F32 dot
+    ot_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
     def body(carry, blk):
         bidx, bg = blk
-        onehot = (bidx[:, None] == f_ids[None, :]).astype(jnp.bfloat16)
+        onehot = (bidx[:, None] == f_ids[None, :]).astype(ot_dtype)
         contrib = jax.lax.dot_general(
-            onehot, bg.astype(jnp.bfloat16),
+            onehot, bg.astype(ot_dtype),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

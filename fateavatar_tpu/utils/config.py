@@ -102,6 +102,7 @@ class AssetsSection:
     FLAME pickle, head template OBJ, optional VGG16 torch weights."""
     flame_model_path: str = "./weights/generic_model.pkl"
     template_mesh_path: str = "./weights/head_template_mouth_close.obj"
+    landmark_embedding_path: Optional[str] = None  # landmark_embedding.npy
     vgg16_weights_path: Optional[str] = None
     lpips_weights_path: Optional[str] = None
 
