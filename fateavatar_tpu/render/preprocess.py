@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from fateavatar_tpu.ops.camera import Camera
-from fateavatar_tpu.ops.quaternion import quat_to_matrix
 from fateavatar_tpu.ops.sh import sh_to_color
 
 
@@ -39,16 +38,38 @@ class Preprocessed(NamedTuple):
 def compute_cov3d(scale: jax.Array, rotation_q: jax.Array,
                   scale_modifier: float = 1.0) -> jax.Array:
     """3D covariance upper triangle (xx, xy, xz, yy, yz, zz) from activated
-    scale and normalized quaternion (forward.cu:118-152)."""
-    R = quat_to_matrix(rotation_q)                       # [N, 3, 3]
-    S = scale * scale_modifier                            # [N, 3]
-    M = R * S[..., None, :]                               # R @ diag(S)
-    sigma = M @ jnp.swapaxes(M, -1, -2)                   # [N, 3, 3]
-    return jnp.stack(
-        [sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-         sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]],
-        axis=-1,
-    )
+    scale and normalized quaternion (forward.cu:118-152).
+
+    Written in SoA scalar form — no [N,3,3] intermediates. The TPU profile
+    (docs/STATUS_ROUND1.md) showed XLA lowering batched tiny-matrix algebra
+    to T(4,128)-tiled convolution fusions plus strided slice/copy fusions
+    (~7 ms/step across preprocess); expanding the algebra over [N] channel
+    vectors keeps everything in plain VPU elementwise fusions, exactly like
+    the CUDA kernel's per-thread scalar code."""
+    q = rotation_q / jnp.linalg.norm(
+        rotation_q, axis=-1, keepdims=True).clip(1e-8)
+    w, x, y, z = jnp.moveaxis(q, -1, 0)
+    # rotation entries (forward.cu:126-138 convention, = quat_to_matrix)
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0, s1, s2 = jnp.moveaxis(scale * scale_modifier, -1, 0)
+    v0, v1, v2 = s0 * s0, s1 * s1, s2 * s2
+    # sigma_ab = sum_j R_aj R_bj s_j^2
+    return jnp.stack([
+        r00 * r00 * v0 + r01 * r01 * v1 + r02 * r02 * v2,
+        r00 * r10 * v0 + r01 * r11 * v1 + r02 * r12 * v2,
+        r00 * r20 * v0 + r01 * r21 * v1 + r02 * r22 * v2,
+        r10 * r10 * v0 + r11 * r11 * v1 + r12 * r12 * v2,
+        r10 * r20 * v0 + r11 * r21 * v1 + r12 * r22 * v2,
+        r20 * r20 * v0 + r21 * r21 * v1 + r22 * r22 * v2,
+    ], axis=-1)
 
 
 def compute_cov2d(
@@ -69,32 +90,36 @@ def compute_cov2d(
     tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
     ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
 
-    # J: Jacobian of the perspective projection (2x3 active rows)
-    zero = jnp.zeros_like(tz)
+    # SoA expansion of cov2d = (J W) V (J W)^T — see compute_cov3d docstring
+    # for why no [N,2,3]/[N,3,3] intermediates are built.
     j00 = focal_x / tz
     j02 = -(focal_x * tx) / (tz * tz)
     j11 = focal_y / tz
     j12 = -(focal_y * ty) / (tz * tz)
-    J = jnp.stack(
-        [jnp.stack([j00, zero, j02], -1),
-         jnp.stack([zero, j11, j12], -1)],
-        axis=-2,
-    )                                                     # [N, 2, 3]
+    w00, w01, w02 = view[0, 0], view[0, 1], view[0, 2]
+    w10, w11, w12 = view[1, 0], view[1, 1], view[1, 2]
+    w20, w21, w22 = view[2, 0], view[2, 1], view[2, 2]
+    # T = J @ W; J rows are [j00, 0, j02], [0, j11, j12]
+    t00 = j00 * w00 + j02 * w20
+    t01 = j00 * w01 + j02 * w21
+    t02 = j00 * w02 + j02 * w22
+    t10 = j11 * w10 + j12 * w20
+    t11 = j11 * w11 + j12 * w21
+    t12 = j11 * w12 + j12 * w22
 
-    W = view[:3, :3]                                      # [3, 3]
-    T = J @ W                                             # [N, 2, 3]
-
-    c = cov3d
-    V = jnp.stack(
-        [jnp.stack([c[..., 0], c[..., 1], c[..., 2]], -1),
-         jnp.stack([c[..., 1], c[..., 3], c[..., 4]], -1),
-         jnp.stack([c[..., 2], c[..., 4], c[..., 5]], -1)],
-        axis=-2,
-    )                                                     # [N, 3, 3]
-    cov = T @ V @ jnp.swapaxes(T, -1, -2)                 # [N, 2, 2]
-    return jnp.stack(
-        [cov[..., 0, 0] + 0.3, cov[..., 0, 1], cov[..., 1, 1] + 0.3], axis=-1
-    )
+    c0, c1, c2, c3, c4, c5 = jnp.moveaxis(cov3d, -1, 0)
+    # U = T @ V (V symmetric from the upper triangle)
+    u00 = t00 * c0 + t01 * c1 + t02 * c2
+    u01 = t00 * c1 + t01 * c3 + t02 * c4
+    u02 = t00 * c2 + t01 * c4 + t02 * c5
+    u10 = t10 * c0 + t11 * c1 + t12 * c2
+    u11 = t10 * c1 + t11 * c3 + t12 * c4
+    u12 = t10 * c2 + t11 * c4 + t12 * c5
+    # cov = U @ T^T
+    cov00 = u00 * t00 + u01 * t01 + u02 * t02
+    cov01 = u00 * t10 + u01 * t11 + u02 * t12
+    cov11 = u10 * t10 + u11 * t11 + u12 * t12
+    return jnp.stack([cov00 + 0.3, cov01, cov11 + 0.3], axis=-1)
 
 
 def preprocess(

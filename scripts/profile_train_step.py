@@ -1,0 +1,98 @@
+"""Per-op device-trace profile of the full train step on the real TPU.
+
+Captures a jax.profiler trace of the chained bench train step and prints the
+top ops by self-time via xprof's framework_op_stats (the only reliable per-op
+numbers through the axon tunnel — see .claude/skills/verify/SKILL.md).
+
+Usage: python scripts/profile_train_step.py [steps] [out_json]
+"""
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_step():
+    import jax.numpy as jnp
+    import numpy as np
+    import jax
+
+    from fateavatar_tpu.flame import synthetic_flame
+    from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
+    from fateavatar_tpu.ops.camera import make_camera
+    from fateavatar_tpu.render.render import RenderConfig
+    from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
+    from fateavatar_tpu.train.optim import fateavatar_optimizers
+    from fateavatar_tpu.train.step import (
+        Frame, MaintenanceConfig, init_train_state, make_train_step,
+    )
+    from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+
+    res, tex, capacity = 512, 256, 70_000
+    flame = synthetic_flame(n_verts=512, n_shape=8, n_exp=6, seed=0)
+    mesh = sphere_obj_mesh(512)
+    cfg = FateAvatarConfig(tex_size=tex, capacity=capacity, img_height=res,
+                           img_width=res, normal_offset=0.02)
+    model, params, state = init_fateavatar(mesh, flame, cfg)
+    render_cfg = RenderConfig(impl="pallas", max_per_tile=1024, chunk=64,
+                              instance_budget=2 * capacity)
+    loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
+                                                  dssim_weight=0.25))
+    opt = fateavatar_optimizers({})
+    step = make_train_step(
+        model, loss_fn, opt,
+        MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
+                          opacity_reset_interval=10**9),
+        render_cfg,
+    )
+    ts = init_train_state(params, state, opt)
+    rng = np.random.default_rng(0)
+    frame = Frame(
+        expression=jnp.zeros((6,), jnp.float32),
+        flame_pose=jnp.zeros((15,), jnp.float32),
+        camera=make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                           0.8, 0.8, res, res),
+        rgb=jnp.asarray(rng.random((res, res, 3)), jnp.float32),
+        bg_color=jnp.ones(3),
+    )
+    return step, ts, frame
+
+
+def main():
+    import jax
+
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/op_stats.json"
+    step, ts, frame = build_step()
+
+    # warm up / compile
+    for _ in range(3):
+        ts, aux = step(ts, frame)
+    jax.block_until_ready(aux["loss"])
+
+    trace_dir = "/tmp/jaxtrace_step"
+    with jax.profiler.trace(trace_dir):
+        for _ in range(steps):
+            ts, aux = step(ts, frame)
+        jax.block_until_ready(aux["loss"])
+
+    xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    xplanes.sort(key=os.path.getmtime)
+    from xprof.convert import raw_to_tool_data as r2t
+
+    data, _ = r2t.xspace_to_tool_data([xplanes[-1]], "framework_op_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    table = json.loads(data)
+    with open(out, "w") as f:
+        json.dump(table, f)
+    # rows: list of dicts or gviz table; print top self-time ops
+    rows = table[1]["p"] if isinstance(table, list) else table
+    print("saved", out)
+
+
+if __name__ == "__main__":
+    main()
