@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def main(budget_mult: int = 2):
+def main(budget_mult: int = 2, max_tiles: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -58,6 +58,9 @@ def main(budget_mult: int = 2):
         impl="pallas" if backend == "tpu" else "xla",
         max_per_tile=1024, chunk=64,
         instance_budget=budget_mult * capacity,  # 0 -> 4N auto
+        # candidate rect cap sized to this workload (trained-avatar splats
+        # touch < 8 tiles at 512^2); overflow-guarded fallback below
+        max_tiles_per_gaussian=max_tiles,
     )
     loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0, dssim_weight=0.25))
     opt = fateavatar_optimizers({})
@@ -98,11 +101,12 @@ def main(budget_mult: int = 2):
         # instantly; a >1000 it/s full train step is physically impossible
         if its < 1000:
             ov = int(aux["overflow"])
-            if ov > 0 and budget_mult:  # tight budget must not drop
+            if ov > 0 and (budget_mult or max_tiles < 16):
+                # tight budget / rect cap must not drop instances
                 print(f"[warn] overflow={ov} at instance_budget "
-                      f"{budget_mult}N; re-running with the 4N auto budget",
-                      file=sys.stderr)
-                return main(budget_mult=0)
+                      f"{budget_mult}N R={max_tiles}; re-running with the "
+                      f"robust 4N/R16 settings", file=sys.stderr)
+                return main(budget_mult=0, max_tiles=16)
             break
         print(f"[warn] implausible timing ({its:.0f} it/s), retrying",
               file=sys.stderr)

@@ -26,6 +26,10 @@ def main(argv=None):
     parser.add_argument("--gfpgan_weights", type=str, default=None,
                         help="GFPGANv1.3/1.4 checkpoint; enables native "
                              "face restoration for stage 4")
+    parser.add_argument("--modnet_weights", type=str, default=None,
+                        help="MODNet portrait-matting checkpoint; enables "
+                             "native matting for stage 8 (takes precedence "
+                             "over --bisenet_weights for the matte)")
     parser.add_argument("--pti_w_steps", type=int, default=200)
     parser.add_argument("--pti_g_steps", type=int, default=200)
     parser.add_argument("overrides", nargs="*")
@@ -49,7 +53,13 @@ def main(argv=None):
                     render_cfg=common.render_config(cfg))
 
     matting_fn = None
-    if args.bisenet_weights:
+    if args.modnet_weights:
+        from fateavatar_tpu.completion.matting import (
+            MODNetMatting, load_modnet_from_torch,
+        )
+
+        matting_fn = MODNetMatting(load_modnet_from_torch(args.modnet_weights))
+    elif args.bisenet_weights:
         from fateavatar_tpu.completion.segmentation import (
             load_bisenet_from_torch, make_bisenet_matting_fn,
         )

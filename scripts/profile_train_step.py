@@ -83,14 +83,27 @@ def main():
     xplanes.sort(key=os.path.getmtime)
     from xprof.convert import raw_to_tool_data as r2t
 
-    data, _ = r2t.xspace_to_tool_data([xplanes[-1]], "framework_op_stats", {})
+    import re
+
+    data, _ = r2t.xspace_to_tool_data([xplanes[-1]], "hlo_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
     table = json.loads(data)
     with open(out, "w") as f:
         json.dump(table, f)
-    # rows: list of dicts or gviz table; print top self-time ops
-    rows = table[1]["p"] if isinstance(table, list) else table
+    tbl = table[0] if isinstance(table, list) else table
+    cols = [c["id"] for c in tbl["cols"]]
+    rows = [[c.get("v") for c in r["c"]] for r in tbl["rows"]]
+    i = {k: cols.index(k) for k in ("category", "tf_op_name",
+                                    "total_self_time", "source_info")}
+    rows.sort(key=lambda r: -(r[i["total_self_time"]] or 0))
+    tot = sum(r[i["total_self_time"]] or 0 for r in rows)
+    print(f"device total {tot / 1e3 / steps:.2f} ms/step")
+    for r in rows[:20]:
+        src = re.sub("<[^>]*>", "", str(r[i["source_info"]]))
+        print(f"{(r[i['total_self_time']] or 0) / 1e3 / steps:7.3f} ms  "
+              f"{str(r[i['category']])[:14]:14s} "
+              f"{str(r[i['tf_op_name']])[:52]:52s} {src}")
     print("saved", out)
 
 

@@ -139,3 +139,45 @@ class TestPointMorphing:
             m.shapedirs, posedirs_pts, m.lbs_weights,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(verts[0]), atol=1e-4)
+
+
+class TestLandmarks:
+    def test_vertices2landmarks_barycentric(self):
+        m = model()
+        verts, _, _ = flame_forward(m, jnp.zeros((1, m.n_exp)),
+                                    jnp.zeros((1, 15)))
+        lmk = flame_mod.flame_landmarks(m, verts)
+        assert lmk.shape == (1, 68, 3)
+        # each landmark must equal its face's barycentric vertex blend
+        f0 = int(m.lmk_faces_idx[0])
+        tri = np.asarray(verts[0])[np.asarray(m.faces[f0])]
+        expect = np.asarray(m.lmk_bary_coords[0]) @ tri
+        np.testing.assert_allclose(np.asarray(lmk[0, 0]), expect, atol=1e-6)
+
+    def test_landmark_embedding_loader_dict_npy(self, tmp_path):
+        from fateavatar_tpu.flame.loader import load_landmark_embedding
+
+        rng = np.random.default_rng(0)
+        d = {
+            "full_lmk_faces_idx": rng.integers(0, 100, 68).astype(np.int64),
+            "full_lmk_bary_coords": rng.dirichlet(np.ones(3), 68),
+            "static_lmk_faces_idx": rng.integers(0, 100, 51),
+        }
+        path = str(tmp_path / "landmark_embedding.npy")
+        np.save(path, d, allow_pickle=True)
+        faces, bary = load_landmark_embedding(path)
+        assert faces.shape == (68,) and faces.dtype == np.int32
+        assert bary.shape == (68, 3) and bary.dtype == np.float32
+        np.testing.assert_allclose(bary.sum(1), 1.0, atol=1e-5)
+
+    def test_landmark_embedding_loader_flat_rows(self, tmp_path):
+        from fateavatar_tpu.flame.loader import load_landmark_embedding
+
+        rows = np.concatenate(
+            [np.arange(68)[:, None].astype(np.float64),
+             np.full((68, 3), 1.0 / 3.0)], axis=1)
+        path = str(tmp_path / "lmk_flat.npy")
+        np.save(path, rows)
+        faces, bary = load_landmark_embedding(path)
+        assert faces.shape == (68,)
+        np.testing.assert_allclose(bary, 1.0 / 3.0, atol=1e-6)
