@@ -15,6 +15,9 @@ def main(argv=None):
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--dp", type=int, default=0,
+                        help="data-parallel over N devices (frames batch "
+                             "over a jax Mesh; gradients psum over ICI)")
     parser.add_argument("overrides", nargs="*", help="key.path=value")
     args = parser.parse_args(argv)
 
@@ -50,6 +53,7 @@ def main(argv=None):
         render_cfg=common.render_config(cfg),
         tracking_lr=cfg.training.tracking_lr,
         seed=cfg.seed,
+        data_parallel=args.dp,
     )
     if args.resume:
         trainer.load_checkpoint()

@@ -67,6 +67,7 @@ class Trainer:
         max_keep_ckpt: int = 2,
         seed: int = 0,
         adapter=None,
+        data_parallel: int = 0,
     ):
         self.name = name
         self.model = model
@@ -138,6 +139,33 @@ class Trainer:
         else:
             self.train_tables = None
 
+        # data-parallel epoch driving (SURVEY.md §7 step 12 — a NEW
+        # capability over the single-GPU reference): frames batch over a
+        # device mesh, splat state replicates, gradients psum over ICI.
+        # Per-frame tracking refinement and family adapters stay
+        # single-device for now (the per-row embedding update is serial in
+        # frame order by construction).
+        self.dp_mesh = None
+        if data_parallel and data_parallel > 1:
+            if adapter is not None or self.tracking_enabled:
+                self.logger.log(
+                    "[dp] data_parallel requested but tracking/adapters are "
+                    "single-device; falling back to per-frame training")
+            else:
+                from fateavatar_tpu.parallel.data_parallel import (
+                    make_device_mesh, make_dp_train_step, replicate,
+                )
+
+                self.dp_mesh = make_device_mesh(data_parallel)
+                self.dp_step = make_dp_train_step(
+                    model, loss_fn, optimizer, self.dp_mesh,
+                    maint_cfg, render_cfg,
+                )
+                self.ts = replicate(self.ts, self.dp_mesh)
+                self.logger.log(
+                    f"[dp] training over {data_parallel} devices "
+                    f"({jax.devices()[0].platform})")
+
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
@@ -195,6 +223,8 @@ class Trainer:
             self.save_checkpoint()
 
     def train_epoch(self):
+        if self.dp_mesh is not None:
+            return self._train_epoch_dp()
         ds = self.train_dataset
         order = np.arange(len(ds))
         meters = {"loss": metrics_mod.LossMeter(), "psnr": metrics_mod.Meter("PSNR")}
@@ -255,6 +285,55 @@ class Trainer:
             f"[epoch {self.epoch}] {n} frames in {dt:.1f}s "
             f"({n / max(dt, 1e-9):.2f} it/s) | loss={meters['loss'].measure():.5f} "
             f"PSNR={meters['psnr'].measure():.2f}"
+            + (f" alive={int(jnp.sum(self.ts.state.alive))}"
+               if hasattr(self.ts.state, "alive") else "")
+        )
+
+    def _train_epoch_dp(self):
+        """Data-parallel epoch: B frames per device step. The frame order
+        wraps to fill the final batch (reference semantics are one step per
+        frame; a handful of duplicated tail frames per epoch is the price
+        of static batch shapes)."""
+        from fateavatar_tpu.parallel.data_parallel import (
+            shard_frames, stack_frames,
+        )
+
+        ds = self.train_dataset
+        B = self.dp_mesh.devices.size
+        order = np.arange(len(ds))
+        pad = (-len(order)) % B
+        if pad:
+            order = np.concatenate([order, order[:pad]])
+        meters = {"loss": metrics_mod.LossMeter(),
+                  "psnr": metrics_mod.Meter("PSNR")}
+        t0 = time.perf_counter()
+        pending = []
+        batch, last_sample = [], None
+        for sample in Prefetcher(ds, order):
+            batch.append(self._make_frame(sample, None))
+            last_sample = sample
+            if len(batch) < B:
+                continue
+            frames = shard_frames(stack_frames(batch), self.dp_mesh)
+            batch = []
+            self.ts, aux = self.dp_step(self.ts, frames)
+            self.global_step += B
+            pending.append(aux)
+            if len(pending) >= 50:
+                for a in jax.device_get(pending):
+                    meters["loss"].update(float(a["loss"]))
+                pending.clear()
+            if (self.workspace is not None
+                    and self.global_step % self.snapshot_interval < B):
+                self.save_snapshot(last_sample)
+        for a in jax.device_get(pending):
+            meters["loss"].update(float(a["loss"]))
+        dt = time.perf_counter() - t0
+        n = len(order)
+        self.logger.log(
+            f"[epoch {self.epoch}] {n} frames in {dt:.1f}s "
+            f"({n / max(dt, 1e-9):.2f} it/s, dp={B}) "
+            f"| loss={meters['loss'].measure():.5f}"
             + (f" alive={int(jnp.sum(self.ts.state.alive))}"
                if hasattr(self.ts.state, "alive") else "")
         )

@@ -292,3 +292,17 @@ class TestDatasets:
         assert ds.expressions.shape == (2, 50)
         s = ds.sample(0)
         assert s["ground_truth"]["rgb"].shape == (RES, RES, 3)
+
+
+class TestTrainerDP:
+    def test_trainer_dp_epoch(self):
+        """The rich Trainer drives a whole epoch data-parallel over the
+        8-device CPU mesh (frames batched, state replicated)."""
+        tr = build_trainer(data_parallel=8)
+        tr.train_dataset = SyntheticDataset(num_frames=10, img_res=(RES, RES),
+                                            n_exp=4)
+        assert tr.dp_mesh is not None
+        tr.train(1)
+        # 10 frames pad to 16 = two dp steps of 8
+        assert tr.global_step == 16
+        assert int(np.asarray(jax.device_get(tr.ts.state.alive)).sum()) > 0
