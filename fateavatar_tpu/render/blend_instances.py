@@ -88,7 +88,7 @@ def _pixels(grid_x, t):
 
 
 def _fwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
-                scratch, sems, *, grid_x: int):
+                scratch, sems, *, grid_x: int, cutoff: float = 0.0):
     t = pl.program_id(0)
     px, py = _pixels(grid_x, t)
     s = starts_ref[t]
@@ -113,8 +113,8 @@ def _fwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
     def _():
         get_dma(0, 0).start()
 
-    def body(i, carry):
-        t_carry, acc_r, acc_g, acc_b = carry
+    def body(carry):
+        i, t_carry, acc_r, acc_g, acc_b = carry
         slot = i % 2
 
         @pl.when(i + 1 < nchunk)
@@ -135,12 +135,30 @@ def _fwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
         acc_g = acc_g + jnp.sum(w * data[:, 6:7], axis=0, keepdims=True)
         acc_b = acc_b + jnp.sum(w * data[:, 7:8], axis=0, keepdims=True)
         t_carry = t_carry * t_incl[CHUNK - 1 : CHUNK, :]
-        return t_carry, acc_r, acc_g, acc_b
+        return i + 1, t_carry, acc_r, acc_g, acc_b
 
-    init = (jnp.ones((1, P), jnp.float32),) + tuple(
+    init = (jnp.int32(0), jnp.ones((1, P), jnp.float32)) + tuple(
         jnp.zeros((1, P), jnp.float32) for _ in range(3)
     )
-    t_final, ar, ag, ab = jax.lax.fori_loop(0, nchunk, body, init)
+    if cutoff > 0.0:
+        # stop once every pixel of the tile is saturated (the
+        # chunk-granular version of renderCUDA's per-pixel T < 1e-4 early
+        # exit, forward.cu:343-351; chunk-level is strictly more
+        # conservative, so results stay within the per-pixel semantics)
+        def cond(carry):
+            return (carry[0] < nchunk) & (jnp.max(carry[1]) >= cutoff)
+
+        i_exit, t_final, ar, ag, ab = jax.lax.while_loop(cond, body, init)
+
+        # the last executed body prefetched chunk i_exit — drain it
+        @pl.when((i_exit > 0) & (i_exit < nchunk))
+        def _():
+            get_dma(i_exit % 2, i_exit).wait()
+    else:
+        # exact closed form: a fori_loop keeps the Mosaic pipeline simple
+        t_final, ar, ag, ab = jax.lax.fori_loop(
+            0, nchunk, lambda i, c: body((i,) + c)[1:], init[1:]
+        )
     bg = bg_ref[0]
     img_ref[0, 0:1, :] = ar + t_final * bg[0]
     img_ref[0, 1:2, :] = ag + t_final * bg[1]
@@ -151,7 +169,7 @@ def _fwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
 def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
                 gimg_ref, gtfin_ref, gout_init_ref, gout_ref, bnd_ref,
                 scratch, out_scratch, sems, out_sem,
-                *, grid_x: int):
+                *, grid_x: int, cutoff: float = 0.0):
     del gout_init_ref  # aliased zeros -> gout_ref (fills coverage holes)
     t = pl.program_id(0)
     px, py = _pixels(grid_x, t)
@@ -183,8 +201,8 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
     def _():
         get_dma(0, 0).start()
 
-    def body(i, carry):
-        t_carry, pr, pg, pb = carry
+    def body(carry):
+        i, t_carry, pr, pg, pb = carry
         slot = i % 2
 
         @pl.when(i + 1 < nchunk)
@@ -272,13 +290,28 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
             out_dma_for(i, oslot).start()
 
         t_carry = t_carry * t_incl[CHUNK - 1 : CHUNK, :]
-        return (t_carry, pr[CHUNK - 1 : CHUNK], pg[CHUNK - 1 : CHUNK],
-                pb[CHUNK - 1 : CHUNK])
+        return (i + 1, t_carry, pr[CHUNK - 1 : CHUNK],
+                pg[CHUNK - 1 : CHUNK], pb[CHUNK - 1 : CHUNK])
 
-    init = (jnp.ones((1, P), jnp.float32),) + tuple(
+    init = (jnp.int32(0), jnp.ones((1, P), jnp.float32)) + tuple(
         jnp.zeros((1, P), jnp.float32) for _ in range(3)
     )
-    jax.lax.fori_loop(0, nchunk, body, init)
+    if cutoff > 0.0:
+        # must stop at the SAME chunk as the forward (same data, same
+        # condition) so truncated gradients match the truncated primal
+        def loop_cond(carry):
+            return (carry[0] < nchunk) & (jnp.max(carry[1]) >= cutoff)
+
+        i_exit = jax.lax.while_loop(loop_cond, body, init)[0]
+
+        # drain the input prefetch started by the last executed body
+        @pl.when((i_exit > 0) & (i_exit < nchunk))
+        def _():
+            get_dma(i_exit % 2, i_exit).wait()
+    else:
+        jax.lax.fori_loop(0, nchunk, lambda i, c: body((i,) + c)[1:],
+                          init[1:])
+        i_exit = nchunk
 
     # drain outstanding gradient write-backs (only chunks >= 1 DMA'd)
     def drain(j):
@@ -291,14 +324,14 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
                 out_sem.at[j % 2],
             ).wait()
 
-    drain(nchunk - 2)
-    drain(nchunk - 1)
+    drain(i_exit - 2)
+    drain(i_exit - 1)
 
 
-def _call_fwd(inst_data, tile_starts, bg, grid, interpret):
+def _call_fwd(inst_data, tile_starts, bg, grid, interpret, cutoff=0.0):
     ty, tx = grid
     T = ty * tx
-    kern = functools.partial(_fwd_kernel, grid_x=tx)
+    kern = functools.partial(_fwd_kernel, grid_x=tx, cutoff=cutoff)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
@@ -330,11 +363,11 @@ def _call_fwd(inst_data, tile_starts, bg, grid, interpret):
 
 
 def _call_bwd(inst_data, tile_starts, bg, img_tiles, t_final, g_img, g_tfin,
-              grid, interpret):
+              grid, interpret, cutoff=0.0):
     ty, tx = grid
     T = ty * tx
     M = inst_data.shape[1]
-    kern = functools.partial(_bwd_kernel, grid_x=tx)
+    kern = functools.partial(_bwd_kernel, grid_x=tx, cutoff=cutoff)
     tile3 = pl.BlockSpec((1, 3, P), lambda t, s: (t, 0, 0),
                          memory_space=pltpu.VMEM)
     tile1 = pl.BlockSpec((1, 1, P), lambda t, s: (t, 0, 0),
@@ -388,25 +421,29 @@ def _call_bwd(inst_data, tile_starts, bg, img_tiles, t_final, g_img, g_tfin,
     return jnp.where(col_ids < total, gout, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def blend_instances_pallas(inst_data, tile_starts, bg, grid, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def blend_instances_pallas(inst_data, tile_starts, bg, grid, interpret=False,
+                           cutoff=0.0):
     """Instance-range blend. inst_data [16, M] (see module docstring),
     tile_starts [T+1] CHUNK-aligned. Returns (img_tiles [T,3,P],
-    t_final [T,P])."""
-    return _call_fwd(inst_data, tile_starts, bg, grid, interpret)
+    t_final [T,P]). ``cutoff`` > 0 enables the chunk-granular early exit
+    once every pixel's transmittance drops below it (renderCUDA's T < 1e-4
+    semantics, forward.cu:343-351); 0 keeps the exact closed form."""
+    return _call_fwd(inst_data, tile_starts, bg, grid, interpret, cutoff)
 
 
-def _vjp_fwd(inst_data, tile_starts, bg, grid, interpret):
-    img, tfin = _call_fwd(inst_data, tile_starts, bg, grid, interpret)
+def _vjp_fwd(inst_data, tile_starts, bg, grid, interpret, cutoff):
+    img, tfin = _call_fwd(inst_data, tile_starts, bg, grid, interpret, cutoff)
     return (img, tfin), (inst_data, tile_starts, bg, img, tfin)
 
 
-def _vjp_bwd(grid, interpret, res, grads):
+def _vjp_bwd(grid, interpret, cutoff, res, grads):
     inst_data, tile_starts, bg, img, tfin = res
     g_img, g_tfin = grads
     g_bg = jnp.einsum("tdp,tp->d", g_img, tfin)
     g_inst = _call_bwd(
         inst_data, tile_starts, bg, img, tfin, g_img, g_tfin, grid, interpret,
+        cutoff,
     )
     return g_inst, None, g_bg
 

@@ -68,6 +68,11 @@ class RenderConfig:
     # pallas kernel flavour: 'instances' = CUDA-layout flat ranges (no per-
     # tile cap, less data movement); 'tiles' = dense [T, K] lists
     kernel: str = struct.field(pytree_node=False, default="instances")
+    # chunk-granular early exit once all of a tile's pixels saturate below
+    # this transmittance (renderCUDA's T < 1e-4, forward.cu:343-351).
+    # 0.0 = exact closed-form blend (the library default; goldens pin it).
+    # Only the 'instances' Pallas kernel honors it.
+    t_cutoff: float = struct.field(pytree_node=False, default=0.0)
 
     def resolve_impl(self) -> str:
         if self.impl != "auto":
@@ -223,7 +228,7 @@ def render(
             inst_data = jnp.take(packed, ids, axis=0).T          # [16, M]
         img_tiles, t_final = blend_instances_pallas(
             inst_data, ilists.tile_starts, bg_color, grid,
-            impl == "pallas_interpret",
+            impl == "pallas_interpret", config.t_cutoff,
         )
         image = tiles_to_image(img_tiles, grid, camera.width, camera.height)
         t_img = tiles_to_image(

@@ -555,3 +555,37 @@ class TestGoldens:
             np.testing.assert_allclose(
                 np.asarray(grads[f]), gold[f"grad_{f}"], atol=1e-5,
                 err_msg=f"grad_{f}")
+
+
+class TestEarlyExit:
+    """t_cutoff > 0: chunk-granular early termination (renderCUDA's
+    T < 1e-4 semantics) must stay within cutoff of the exact blend, in
+    both the primal and the gradients."""
+
+    def test_cutoff_matches_exact_within_cutoff(self):
+        cam, g, bg = make_scene(120, seed=31)
+        base = dict(kernel="instances", chunk=32, instance_budget=120 * 36)
+        out_exact = render(cam, g, bg, config=RenderConfig(
+            impl="pallas_interpret", **base))
+        out_cut = render(cam, g, bg, config=RenderConfig(
+            impl="pallas_interpret", t_cutoff=1e-4, **base))
+        np.testing.assert_allclose(
+            np.asarray(out_cut["render"]), np.asarray(out_exact["render"]),
+            atol=2e-4,
+        )
+
+    def test_cutoff_gradients_close(self):
+        cam, g, bg = make_scene(60, seed=32)
+        base = dict(kernel="instances", chunk=32, instance_budget=60 * 36)
+
+        def loss(xyz, cfg):
+            out = render(cam, g.replace(xyz=xyz), bg, config=cfg)
+            return jnp.sum(out["render"] ** 2)
+
+        g_exact = jax.grad(loss)(g.xyz, RenderConfig(
+            impl="pallas_interpret", **base))
+        g_cut = jax.grad(loss)(g.xyz, RenderConfig(
+            impl="pallas_interpret", t_cutoff=1e-4, **base))
+        scale = float(jnp.abs(g_exact).max()) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(g_cut) / scale, np.asarray(g_exact) / scale, atol=5e-3)
