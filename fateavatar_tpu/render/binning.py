@@ -286,11 +286,18 @@ def build_instance_lists(
         )
 
     if sort_mode in ("stable", "count", "onesort"):
-        # depth-argsort gaussians upfront, then ONE stable tile pass
+        # depth-argsort gaussians upfront, then ONE stable tile pass.
+        # The three reordered per-gaussian fields ride ONE gather (row
+        # gathers lower to slow VMEM-bound custom fusions on TPU; one
+        # [N, 4] gather costs the same as one [N] gather).
         order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
-        mean2d_s = mean2d[order]
-        radius_s = radius[order]
-        visible_s = visible[order]
+        packed_fields = jnp.concatenate([
+            mean2d, radius.astype(jnp.float32)[:, None],
+            visible.astype(jnp.float32)[:, None],
+        ], axis=1)[order]
+        mean2d_s = packed_fields[:, :2]
+        radius_s = packed_fields[:, 2].astype(jnp.int32)
+        visible_s = packed_fields[:, 3] > 0.5
     else:
         # 'twokey': skip the argsort + per-gaussian reorder; sort instances
         # by (tile, depth) in one two-key pass instead

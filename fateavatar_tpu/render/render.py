@@ -114,6 +114,31 @@ _take_packed.defvjp(_take_packed_fwd, _take_packed_bwd)
 
 
 @jax.custom_vjp
+def _take_packed_slim(packed, ids):
+    """Instance gather whose transpose scatters only the 9 meaningful
+    channels (mean2d, conic, color, opacity). Rows 9..15 of ``packed`` are
+    the valid flag and zero padding — no parameter gradient flows through
+    them, so the scatter-add (a serial per-update loop on TPU) moves 44%
+    less data than the full 16-channel transpose."""
+    return jnp.take(packed, ids, axis=0).T
+
+
+def _take_packed_slim_fwd(packed, ids):
+    return _take_packed_slim(packed, ids), (ids, packed.shape[0])
+
+
+def _take_packed_slim_bwd(res, g):
+    ids, n_rows = res                          # g [16, M]
+    g9 = jnp.zeros((n_rows, 9), g.dtype).at[ids].add(g[:9].T)
+    gpacked = jnp.concatenate(
+        [g9, jnp.zeros((n_rows, g.shape[0] - 9), g.dtype)], axis=1)
+    return gpacked, None
+
+
+_take_packed_slim.defvjp(_take_packed_slim_fwd, _take_packed_slim_bwd)
+
+
+@jax.custom_vjp
 def _take_packed_sorted(packed, ids):
     """Instance gather whose transpose presorts updates by target row.
 
@@ -225,7 +250,7 @@ def render(
         elif config.bwd_sorted_scatter:
             inst_data = _take_packed_sorted(packed, ids)         # [16, M]
         else:
-            inst_data = jnp.take(packed, ids, axis=0).T          # [16, M]
+            inst_data = _take_packed_slim(packed, ids)           # [16, M]
         img_tiles, t_final = blend_instances_pallas(
             inst_data, ilists.tile_starts, bg_color, grid,
             impl == "pallas_interpret", config.t_cutoff,

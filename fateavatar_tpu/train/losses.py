@@ -55,9 +55,13 @@ def _gaussian_window_1d(size: int = 11, sigma: float = 1.5):
 
 
 @functools.lru_cache(maxsize=8)
-def _banded_blur_matrix(size: int, n: int):
+def _banded_blur_matrix(size: int, n: int) -> np.ndarray:
     """[n, n] banded matrix of the 1-D Gaussian window with zero-padding
-    boundary semantics (rows truncated at the edges == 'SAME' conv)."""
+    boundary semantics (rows truncated at the edges == 'SAME' conv).
+
+    Returns NUMPY (not jnp): the cache is keyed only by shape, and a
+    device array created during a jit trace is a tracer in current JAX —
+    caching it would leak the tracer into later traces of the same size."""
     x = np.arange(size) - size // 2
     g = np.exp(-(x ** 2) / (2 * 1.5 ** 2))
     g = g / g.sum()
@@ -66,7 +70,7 @@ def _banded_blur_matrix(size: int, n: int):
         off = i - size // 2
         idx = np.arange(max(0, -off), min(n, n - off))
         B[idx, idx + off] = w
-    return jnp.asarray(B)
+    return B
 
 
 @functools.partial(jax.jit, static_argnames=("window_size",))
@@ -85,8 +89,8 @@ def d_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11):
     x = img1.transpose(0, 3, 1, 2)
     y = img2.transpose(0, 3, 1, 2)
     b, c, h, w = x.shape
-    Bh = _banded_blur_matrix(window_size, h)
-    Bw = _banded_blur_matrix(window_size, w)
+    Bh = jnp.asarray(_banded_blur_matrix(window_size, h))
+    Bw = jnp.asarray(_banded_blur_matrix(window_size, w))
 
     stacked = jnp.concatenate([x, y, x * x, y * y, x * y], axis=1)
     s = stacked.reshape(-1, h, w)
