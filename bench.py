@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def main(budget_mult: int = 2, max_tiles: int = 8):
+def main(budget_mult: int = 2, max_tiles: int = 4):
     import jax
     import jax.numpy as jnp
 

@@ -38,7 +38,8 @@ def build_step():
                            img_width=res, normal_offset=0.02)
     model, params, state = init_fateavatar(mesh, flame, cfg)
     render_cfg = RenderConfig(impl="pallas", max_per_tile=1024, chunk=64,
-                              instance_budget=2 * capacity)
+                              instance_budget=2 * capacity,
+                              max_tiles_per_gaussian=int(os.environ.get("PROF_R", "8")))
     loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
                                                   dssim_weight=0.25))
     opt = fateavatar_optimizers({})
