@@ -34,11 +34,14 @@ SPLAT_FIELDS = ("offset", "features_dc", "features_rest", "scaling",
 
 def add_densification_stats(
     state: FateAvatarState,
-    viewspace_grad: jax.Array,   # [N, 2] d(loss)/d(mean2d) from the probe
+    viewspace_grad: jax.Array,   # [2, N] or [N, 2] d(loss)/d(mean2d) probe
     visibility: jax.Array,       # [N] bool
 ) -> FateAvatarState:
     """Accumulate screen-space gradient norms (fateavatar.py:734-737)."""
-    gnorm = jnp.linalg.norm(viewspace_grad[:, :2], axis=-1)
+    if viewspace_grad.shape[0] == 2:
+        gnorm = jnp.sqrt(viewspace_grad[0] ** 2 + viewspace_grad[1] ** 2)
+    else:
+        gnorm = jnp.linalg.norm(viewspace_grad[:, :2], axis=-1)
     vis = visibility & state.alive
     return state.replace(
         xyz_gradient_accum=state.xyz_gradient_accum + jnp.where(vis, gnorm, 0.0),

@@ -95,12 +95,12 @@ def make_dp_train_step(
 
     def step_fn(ts: TrainState, frames: Frame):
         B = frames.rgb.shape[0]
-        probe = jnp.zeros((B, ts.params.offset.shape[0], 2), jnp.float32)
+        probe = jnp.zeros((B, 2, ts.params.offset.shape[0]), jnp.float32)
         (grads, probe_grad), aux = grad_fn(ts.params, probe, ts.state, frames)
 
         # densification stats: accumulate over every frame in the batch
         state = ts.state
-        gnorm = jnp.linalg.norm(probe_grad, axis=-1)           # [B, N]
+        gnorm = jnp.linalg.norm(probe_grad, axis=1)            # [B, N]
         vis = aux["visibility"] & state.alive[None, :]         # [B, N]
         state = state.replace(
             xyz_gradient_accum=state.xyz_gradient_accum

@@ -60,16 +60,21 @@ def tile_grid(width: int, height: int) -> tuple:
     return ((height + TILE - 1) // TILE, (width + TILE - 1) // TILE)
 
 
-def gaussian_rect(mean2d: jax.Array, radius: jax.Array, grid: tuple):
-    """Per-Gaussian tile rect [min, max) in tile units (auxiliary.h:46-56)."""
+def gaussian_rect(mean2d, radius: jax.Array, grid: tuple):
+    """Per-Gaussian tile rect [min, max) in tile units (auxiliary.h:46-56).
+    ``mean2d`` is [N, 2] or a (mean_x, mean_y) tuple of [N] vectors."""
     ty, tx = grid
-    rmin_x = jnp.clip(((mean2d[..., 0] - radius) / TILE).astype(jnp.int32), 0, tx)
-    rmin_y = jnp.clip(((mean2d[..., 1] - radius) / TILE).astype(jnp.int32), 0, ty)
+    if isinstance(mean2d, tuple):
+        mx, my = mean2d
+    else:
+        mx, my = mean2d[..., 0], mean2d[..., 1]
+    rmin_x = jnp.clip(((mx - radius) / TILE).astype(jnp.int32), 0, tx)
+    rmin_y = jnp.clip(((my - radius) / TILE).astype(jnp.int32), 0, ty)
     rmax_x = jnp.clip(
-        ((mean2d[..., 0] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, tx
+        ((mx + radius + TILE - 1) / TILE).astype(jnp.int32), 0, tx
     )
     rmax_y = jnp.clip(
-        ((mean2d[..., 1] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, ty
+        ((my + radius + TILE - 1) / TILE).astype(jnp.int32), 0, ty
     )
     return rmin_x, rmin_y, rmax_x, rmax_y
 
@@ -196,8 +201,16 @@ def build_instance_lists(
     Each tile's range is padded to a multiple of ``chunk`` (sentinel id -1)
     so the kernel's fixed-size DMAs never cross tile boundaries. Output
     length is the static ``M + num_tiles * chunk``.
+
+    ``mean2d`` may be an [N, 2] array or a ``(mean_x, mean_y)`` tuple of
+    lane-major [N] vectors (the preprocess SoA form — avoids two layout
+    passes per call on TPU).
     """
-    n = mean2d.shape[0]
+    if isinstance(mean2d, tuple):
+        mean_x, mean_y = mean2d
+    else:
+        mean_x, mean_y = mean2d[..., 0], mean2d[..., 1]
+    n = mean_x.shape[0]
     ty, tx = grid
     num_tiles = ty * tx
     R = max_tiles_per_gaussian
@@ -218,7 +231,8 @@ def build_instance_lists(
         #   re-layout: output slot o inverts to (tile, rank) via the
         #     aligned starts, then to the sorted-instance index.
         order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
-        mean2d_s = mean2d[order]
+        mean2d_arr = jnp.stack([mean_x, mean_y], axis=-1)
+        mean2d_s = mean2d_arr[order]
         radius_s = radius[order]
         visible_s = visible[order]
 
@@ -291,18 +305,20 @@ def build_instance_lists(
         # gathers lower to slow VMEM-bound custom fusions on TPU; one
         # [N, 4] gather costs the same as one [N] gather).
         order = jnp.argsort(jnp.where(visible, depth, jnp.inf))
-        packed_fields = jnp.concatenate([
-            mean2d, radius.astype(jnp.float32)[:, None],
-            visible.astype(jnp.float32)[:, None],
-        ], axis=1)[order]
-        mean2d_s = packed_fields[:, :2]
+        # stack along a NEW leading axis (layout-free for lane-major [N]
+        # vectors), ONE transpose to the row-gatherable [N, 4] form
+        packed_fields = jnp.stack([
+            mean_x, mean_y, radius.astype(jnp.float32),
+            visible.astype(jnp.float32),
+        ], axis=0).T[order]
+        mean2d_s = (packed_fields[:, 0], packed_fields[:, 1])
         radius_s = packed_fields[:, 2].astype(jnp.int32)
         visible_s = packed_fields[:, 3] > 0.5
     else:
         # 'twokey': skip the argsort + per-gaussian reorder; sort instances
         # by (tile, depth) in one two-key pass instead
         order = jnp.arange(n, dtype=jnp.int32)
-        mean2d_s = mean2d
+        mean2d_s = (mean_x, mean_y)
         radius_s = jnp.where(visible, radius, 0)
         visible_s = visible
 
@@ -311,12 +327,7 @@ def build_instance_lists(
     n_tiles_touched = jnp.where(visible_s, rect_w * (rmax_y - rmin_y), 0)
     dropped = jnp.sum(jnp.maximum(n_tiles_touched - R, 0))
 
-    r_lin = jnp.arange(R, dtype=jnp.int32)[None, :]
-    cand_x = rmin_x[:, None] + r_lin % rect_w[:, None]
-    cand_y = rmin_y[:, None] + r_lin // rect_w[:, None]
     touched_capped = jnp.minimum(n_tiles_touched, R)
-    valid = (r_lin < touched_capped[:, None])
-    tile_id = jnp.where(valid, cand_y * tx + cand_x, num_tiles)
 
     # exact compaction offsets from an N-length cumsum (the CUDA
     # InclusiveSum over tiles_touched, rasterizer_impl.cu:277) — far
@@ -326,6 +337,11 @@ def build_instance_lists(
     dropped = dropped + jnp.maximum(n_valid - M, 0)
 
     if sort_mode != "onesort":
+        r_lin = jnp.arange(R, dtype=jnp.int32)[None, :]
+        cand_x = rmin_x[:, None] + r_lin % rect_w[:, None]
+        cand_y = rmin_y[:, None] + r_lin // rect_w[:, None]
+        valid = (r_lin < touched_capped[:, None])
+        tile_id = jnp.where(valid, cand_y * tx + cand_x, num_tiles)
         dest = jnp.where(
             valid & (offsets[:, None] + r_lin < M),
             offsets[:, None] + r_lin, M,
@@ -349,18 +365,37 @@ def build_instance_lists(
         # instances. Candidates that would exceed the budget are
         # pre-dropped (same selection as the compaction path, so results
         # stay bit-exact including overflow).
-        over_budget = offsets[:, None] + r_lin >= M
+        #
+        # The expansion runs TRANSPOSED [R, N]: with R on lanes a [N, R]
+        # candidate tensor uses R of 128 lanes (the profile showed ~15
+        # near-empty VPU passes); [R, N] keeps N on lanes. The g-major
+        # candidate order the stable sort needs is restored by ONE
+        # transpose per sort operand.
+        r_col = jnp.arange(R, dtype=jnp.int32)[:, None]     # [R, 1]
+        # r // w and r % w for r < R without integer division (int32 div by
+        # a VECTOR lowers to slow multi-pass sequences on TPU): the
+        # quotient is how many of w, 2w, ... (R-1)w are <= r — R-1 fusable
+        # compares instead
+        w_row = rect_w[None, :]
+        q = jnp.zeros((R, n), jnp.int32)
+        for k in range(1, R):
+            q = q + (r_col >= k * w_row).astype(jnp.int32)
+        cand_x = rmin_x[None, :] + (r_col - q * w_row)      # [R, N]
+        cand_y = rmin_y[None, :] + q
+        valid = r_col < touched_capped[None, :]
+        tile_id = jnp.where(valid, cand_y * tx + cand_x, num_tiles)
+        over_budget = offsets[None, :] + r_col >= M
         tile_all = jnp.where(valid & ~over_budget, tile_id, num_tiles)
         gauss_all = jnp.where(
             valid & ~over_budget,
-            jnp.broadcast_to(order[:, None], tile_id.shape), -1,
+            jnp.broadcast_to(order[None, :], (R, n)), -1,
         )
-        operands = [tile_all.reshape(-1).astype(jnp.int32),
-                    gauss_all.reshape(-1).astype(jnp.int32)]
+        operands = [tile_all.T.reshape(-1).astype(jnp.int32),
+                    gauss_all.T.reshape(-1).astype(jnp.int32)]
         if return_slots:  # carry the compact index m through the sort
             operands.append(jnp.where(
-                valid & ~over_budget, offsets[:, None] + r_lin, M
-            ).reshape(-1).astype(jnp.int32))
+                valid & ~over_budget, offsets[None, :] + r_col, M
+            ).T.reshape(-1).astype(jnp.int32))
         sorted_ops = jax.lax.sort(tuple(operands), num_keys=1, is_stable=True)
         keep_m = min(M, n * R)
         pad_vals = (num_tiles, -1, M)
@@ -504,8 +539,12 @@ def build_instance_lists(
             (sort_m, jnp.arange(M, dtype=jnp.int32)), num_keys=1
         )
         dst_by_m = dst[k_of_m]                               # [M]
-        slot_valid = valid & (offsets[:, None] + r_lin < M)  # [N, R]
-        m_nr = jnp.minimum(offsets[:, None] + r_lin, M - 1)
+        r_row = jnp.arange(R, dtype=jnp.int32)[None, :]
+        if sort_mode == "onesort":                           # valid is [R, N]
+            slot_valid = (valid & ~over_budget).T            # [N, R]
+        else:
+            slot_valid = valid & (offsets[:, None] + r_row < M)
+        m_nr = jnp.minimum(offsets[:, None] + r_row, M - 1)
         slot_sorted = jnp.where(slot_valid, dst_by_m[m_nr], M_out)
         _, inv_order = jax.lax.sort(
             (order.astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)),

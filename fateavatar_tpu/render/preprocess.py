@@ -26,13 +26,20 @@ from fateavatar_tpu.ops.sh import sh_to_color
 
 
 class Preprocessed(NamedTuple):
-    mean2d: jax.Array       # [N, 2] pixel coords
+    mean2d: jax.Array       # [N, 2] pixel coords (None when stacked=False)
     depth: jax.Array        # [N] view-space z
-    conic: jax.Array        # [N, 3] inverse 2D covariance (a, b, c)
-    color: jax.Array        # [N, 3] RGB
+    conic: jax.Array        # [N, 3] inverse 2D covariance (None when stacked=False)
+    color: jax.Array        # [N, 3] RGB (None when stacked=False)
     opacity: jax.Array      # [N]
     radius: jax.Array       # [N] int32 pixel radius (0 == culled)
     visible: jax.Array      # [N] bool (radius > 0)
+    soa: tuple = ()         # 9 [N] channel vectors (mx, my, conic_a, conic_b,
+                            # conic_c, r, g, b, opacity) — the lane-major form
+                            # every [N, k] stack above is a relayout of. The
+                            # TPU profile showed each such stack/slice costing
+                            # ~0.06 ms in layout shuffles; the Pallas path
+                            # consumes these directly (stacked=False) and
+                            # builds its packed array with ONE transpose.
 
 
 def compute_cov3d(scale: jax.Array, rotation_q: jax.Array,
@@ -61,15 +68,17 @@ def compute_cov3d(scale: jax.Array, rotation_q: jax.Array,
     r22 = 1 - 2 * (x * x + y * y)
     s0, s1, s2 = jnp.moveaxis(scale * scale_modifier, -1, 0)
     v0, v1, v2 = s0 * s0, s1 * s1, s2 * s2
-    # sigma_ab = sum_j R_aj R_bj s_j^2
-    return jnp.stack([
+    # sigma_ab = sum_j R_aj R_bj s_j^2 — returned as a TUPLE of [N] vectors
+    # (stacking to [N, 6] here just to unstack in compute_cov2d would cost
+    # 12 lane<->sublane relayout passes)
+    return (
         r00 * r00 * v0 + r01 * r01 * v1 + r02 * r02 * v2,
         r00 * r10 * v0 + r01 * r11 * v1 + r02 * r12 * v2,
         r00 * r20 * v0 + r01 * r21 * v1 + r02 * r22 * v2,
         r10 * r10 * v0 + r11 * r11 * v1 + r12 * r12 * v2,
         r10 * r20 * v0 + r11 * r21 * v1 + r12 * r22 * v2,
         r20 * r20 * v0 + r21 * r21 * v1 + r22 * r22 * v2,
-    ], axis=-1)
+    )
 
 
 def compute_cov2d(
@@ -80,9 +89,9 @@ def compute_cov2d(
     focal_y: jax.Array,
     tan_fovx: jax.Array,
     tan_fovy: jax.Array,
-) -> jax.Array:
-    """EWA splatting 3D->2D covariance (forward.cu:74-113). Returns
-    [N, 3] = (cov_xx, cov_xy, cov_yy) including the +0.3 low-pass."""
+):
+    """EWA splatting 3D->2D covariance (forward.cu:74-113). Takes/returns
+    tuples of [N] vectors: (cov_xx, cov_xy, cov_yy) incl. the +0.3 low-pass."""
     t = mean3d @ view[:3, :3].T + view[:3, 3]
     tz = t[..., 2]
     limx = 1.3 * tan_fovx
@@ -107,7 +116,7 @@ def compute_cov2d(
     t11 = j11 * w11 + j12 * w21
     t12 = j11 * w12 + j12 * w22
 
-    c0, c1, c2, c3, c4, c5 = jnp.moveaxis(cov3d, -1, 0)
+    c0, c1, c2, c3, c4, c5 = cov3d
     # U = T @ V (V symmetric from the upper triangle)
     u00 = t00 * c0 + t01 * c1 + t02 * c2
     u01 = t00 * c1 + t01 * c3 + t02 * c4
@@ -119,7 +128,7 @@ def compute_cov2d(
     cov00 = u00 * t00 + u01 * t01 + u02 * t02
     cov01 = u00 * t10 + u01 * t11 + u02 * t12
     cov11 = u10 * t10 + u11 * t11 + u12 * t12
-    return jnp.stack([cov00 + 0.3, cov01, cov11 + 0.3], axis=-1)
+    return cov00 + 0.3, cov01, cov11 + 0.3
 
 
 def preprocess(
@@ -133,9 +142,12 @@ def preprocess(
     colors_precomp: jax.Array | None = None,
     scale_modifier: float = 1.0,
     alive: jax.Array | None = None,
+    stacked: bool = True,
 ) -> Preprocessed:
     """Vectorized per-Gaussian preprocessing. ``alive`` masks dead capacity
-    slots (our static-shape replacement for varying N; dead => radius 0)."""
+    slots (our static-shape replacement for varying N; dead => radius 0).
+    ``stacked=False`` skips the [N, k] stacks (mean2d/conic/color are None)
+    and consumers read the lane-major ``soa`` vectors instead."""
     W, H = camera.width, camera.height
 
     # projection
@@ -152,24 +164,21 @@ def preprocess(
         camera.focal_x, camera.focal_y, camera.tan_fovx, camera.tan_fovy,
     )
 
-    det = cov[..., 0] * cov[..., 2] - cov[..., 1] * cov[..., 1]
+    cov00, cov01, cov11 = cov
+    det = cov00 * cov11 - cov01 * cov01
     valid_det = det != 0.0
     det_inv = jnp.where(valid_det, 1.0 / jnp.where(valid_det, det, 1.0), 0.0)
-    conic = jnp.stack(
-        [cov[..., 2] * det_inv, -cov[..., 1] * det_inv, cov[..., 0] * det_inv],
-        axis=-1,
-    )
+    conic_a = cov11 * det_inv
+    conic_b = -cov01 * det_inv
+    conic_c = cov00 * det_inv
 
-    mid = 0.5 * (cov[..., 0] + cov[..., 2])
+    mid = 0.5 * (cov00 + cov11)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
 
-    mean2d = jnp.stack(
-        [((p_proj[..., 0] + 1.0) * W - 1.0) * 0.5,
-         ((p_proj[..., 1] + 1.0) * H - 1.0) * 0.5],
-        axis=-1,
-    )
+    mean_x = ((p_proj[..., 0] + 1.0) * W - 1.0) * 0.5
+    mean_y = ((p_proj[..., 1] + 1.0) * H - 1.0) * 0.5
 
     if colors_precomp is not None:
         color = colors_precomp
@@ -183,12 +192,17 @@ def preprocess(
         visible = visible & alive
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
 
+    opacity = opacities.reshape(-1)
+    soa = (mean_x, mean_y, conic_a, conic_b, conic_c,
+           color[..., 0], color[..., 1], color[..., 2], opacity)
     return Preprocessed(
-        mean2d=mean2d,
+        mean2d=(jnp.stack([mean_x, mean_y], axis=-1) if stacked else None),
         depth=p_view_z,
-        conic=conic,
-        color=color,
-        opacity=opacities.reshape(-1),
+        conic=(jnp.stack([conic_a, conic_b, conic_c], axis=-1)
+               if stacked else None),
+        color=color if stacked else None,
+        opacity=opacity,
         radius=radius,
         visible=radius > 0,
+        soa=soa,
     )

@@ -186,6 +186,11 @@ def render(
     opac = gaussians.get_opacity
     sh = None if override_color is not None else gaussians.get_features
 
+    grid = binning.tile_grid(camera.width, camera.height)
+    impl = config.resolve_impl()
+    use_instances = (impl in ("pallas", "pallas_interpret")
+                     and config.kernel == "instances")
+
     prep = preprocess(
         camera,
         means3d,
@@ -197,16 +202,22 @@ def render(
         colors_precomp=override_color,
         scale_modifier=scaling_modifier,
         alive=gaussians.alive,
+        stacked=not use_instances,
     )
 
-    mean2d = prep.mean2d
+    mx, my, c_a, c_b, c_c, col_r, col_g, col_b, op_v = prep.soa
     if means2d_probe is not None:
-        mean2d = mean2d + means2d_probe
+        # probe rows: accept [2, N] (lane-major, preferred) or legacy [N, 2]
+        if means2d_probe.shape[0] == 2 and means2d_probe.ndim == 2:
+            px_p, py_p = means2d_probe[0], means2d_probe[1]
+        else:
+            px_p, py_p = means2d_probe[..., 0], means2d_probe[..., 1]
+        mx = mx + px_p
+        my = my + py_p
+    mean2d = (jnp.stack([mx, my], axis=-1) if not use_instances
+              else None)
 
-    grid = binning.tile_grid(camera.width, camera.height)
-    impl = config.resolve_impl()
-
-    if impl in ("pallas", "pallas_interpret") and config.kernel == "instances":
+    if use_instances:
         from fateavatar_tpu.render.blend_instances import (
             CHUNK as INST_CHUNK,
             blend_instances_pallas,
@@ -217,7 +228,7 @@ def render(
                                            "onesort")
                      else "stable")
         ilists = binning.build_instance_lists(
-            jax.lax.stop_gradient(mean2d),
+            (jax.lax.stop_gradient(mx), jax.lax.stop_gradient(my)),
             jax.lax.stop_gradient(prep.depth),
             prep.radius, grid,
             max_tiles_per_gaussian=config.max_tiles_per_gaussian,
@@ -230,11 +241,16 @@ def render(
             relayout=config.relayout,
             layout=config.layout,
         )
-        n = mean2d.shape[0]
+        n = mx.shape[0]
+        # [10, N] stack of lane-major vectors (no relayout), ONE transpose
+        # to the row-gatherable [N, 16] form, sentinel row appended
+        packed_t = jnp.stack([
+            mx, my, c_a, c_b, c_c, col_r, col_g, col_b, op_v,
+            jnp.ones((n,), jnp.float32),
+        ], axis=0)
         packed = jnp.concatenate([
-            mean2d, prep.conic, prep.color, prep.opacity[:, None],
-            jnp.ones((n, 1), jnp.float32), jnp.zeros((n, 6), jnp.float32),
-        ], axis=-1)
+            packed_t.T, jnp.zeros((n, 6), jnp.float32),
+        ], axis=1)
         packed = jnp.concatenate(
             [packed, jnp.zeros((1, 16), jnp.float32)], axis=0
         )  # sentinel row (valid = 0)
@@ -263,7 +279,9 @@ def render(
         counts = ilists.tile_starts[1:] - ilists.tile_starts[:-1]
         return {
             "render": image,
-            "viewspace_points": mean2d,
+            # stacked lazily; gradient flows through the probe, so unused
+            # consumers cost nothing (DCE) and used ones pay one stack
+            "viewspace_points": jnp.stack([mx, my], axis=-1),
             "visibility_filter": prep.visible,
             "radii": prep.radius,
             "t_final": t_img,

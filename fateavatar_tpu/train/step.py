@@ -97,7 +97,7 @@ def make_train_step(
     grad_fn = jax.grad(loss_and_out, argnums=(0, 1), has_aux=True)
 
     def step_fn(ts: TrainState, frame: Frame):
-        probe = jnp.zeros((ts.params.offset.shape[0], 2), jnp.float32)
+        probe = jnp.zeros((2, ts.params.offset.shape[0]), jnp.float32)
         (grads, probe_grad), (out, losses) = grad_fn(
             ts.params, probe, ts.state, frame
         )

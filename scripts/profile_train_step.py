@@ -39,7 +39,10 @@ def build_step():
     model, params, state = init_fateavatar(mesh, flame, cfg)
     render_cfg = RenderConfig(impl="pallas", max_per_tile=1024, chunk=64,
                               instance_budget=2 * capacity,
-                              max_tiles_per_gaussian=int(os.environ.get("PROF_R", "8")))
+                              max_tiles_per_gaussian=int(os.environ.get("PROF_R", "8")),
+                              t_cutoff=float(os.environ.get("PROF_CUTOFF", "0")),
+                              bwd_slots=bool(int(os.environ.get("PROF_SLOTS", "0"))),
+                              layout=os.environ.get("PROF_LAYOUT", "compact"))
     loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
                                                   dssim_weight=0.25))
     opt = fateavatar_optimizers({})
