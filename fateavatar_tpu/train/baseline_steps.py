@@ -80,7 +80,7 @@ def make_gaussianavatars_step(
     steps (train/iteration.py:185-187) and rebuilds this step (4 recompiles
     over a run)."""
 
-    def loss_and_out(params, probe, state, frame: Frame):
+    def one_frame(params, probe, state, frame: Frame):
         out = GA.ga_forward(
             model, params, state, frame.expression, frame.flame_pose,
             frame.camera, active_sh_degree=active_sh_degree,
@@ -88,12 +88,33 @@ def make_gaussianavatars_step(
             means2d_probe=probe,
         )
         losses = loss_fn(out, {"rgb": frame.rgb})
-        return losses["loss"], (out, losses)
+        aux = {"visibility_filter": out["visibility_filter"],
+               "radii": out["radii"], "rgb_image": out["rgb_image"],
+               "overflow": out.get("overflow", jnp.int32(0))}
+        return losses["loss"], (aux, losses)
+
+    def loss_and_out(params, probe, state, frame: Frame):
+        if frame.rgb.ndim == 4:       # batched / data-parallel frames
+            losses_b, aux_b = {}, {}
+
+            def body(f, pr):
+                _, (aux, losses) = one_frame(params, pr, state, f)
+                return aux, losses
+
+            aux_b, losses_b = jax.vmap(body)(frame, probe)
+            losses = jax.tree.map(jnp.mean, losses_b)
+            return losses["loss"], (aux_b, losses)
+        return one_frame(params, probe, state, frame)
 
     grad_fn = jax.grad(loss_and_out, argnums=(0, 1), has_aux=True)
 
     def step_fn(ts: BaselineTrainState, frame: Frame):
-        probe = jnp.zeros((ts.params.xyz.shape[0], 2), jnp.float32)
+        n = ts.params.xyz.shape[0]
+        batched = frame.rgb.ndim == 4
+        if batched:
+            probe = jnp.zeros((frame.rgb.shape[0], 2, n), jnp.float32)
+        else:
+            probe = jnp.zeros((2, n), jnp.float32)
         (grads, probe_grad), (out, losses) = grad_fn(
             ts.params, probe, ts.state, frame
         )
@@ -102,16 +123,33 @@ def make_gaussianavatars_step(
         # the 0.0002 grad threshold was tuned for (mean2D grads are in NDC
         # half-units there: ddelx_dx = 0.5 W, backward.cu:399+)
         w = frame.camera.width
-        gnorm = jnp.linalg.norm(probe_grad[:, :2], axis=-1) * (2.0 / w)
-        vis = out["visibility_filter"] & state.alive
-        state = state.replace(
-            xyz_gradient_accum=state.xyz_gradient_accum + jnp.where(vis, gnorm, 0.0),
-            denom=state.denom + jnp.where(vis, 1.0, 0.0),
-            max_radii2d=jnp.where(
-                vis, jnp.maximum(state.max_radii2d, out["radii"].astype(jnp.float32)),
-                state.max_radii2d,
-            ),
-        )
+        if batched:
+            gnorm = jnp.linalg.norm(probe_grad, axis=1) * (2.0 / w)  # [B, N]
+            vis = out["visibility_filter"] & state.alive[None, :]
+            state = state.replace(
+                xyz_gradient_accum=state.xyz_gradient_accum
+                + jnp.sum(jnp.where(vis, gnorm, 0.0), axis=0),
+                denom=state.denom + jnp.sum(vis.astype(jnp.float32), axis=0),
+                max_radii2d=jnp.maximum(
+                    state.max_radii2d,
+                    jnp.max(jnp.where(
+                        vis, out["radii"].astype(jnp.float32), 0.0), axis=0),
+                ),
+            )
+        else:
+            gnorm = jnp.linalg.norm(probe_grad, axis=0) * (2.0 / w)
+            vis = out["visibility_filter"] & state.alive
+            state = state.replace(
+                xyz_gradient_accum=state.xyz_gradient_accum
+                + jnp.where(vis, gnorm, 0.0),
+                denom=state.denom + jnp.where(vis, 1.0, 0.0),
+                max_radii2d=jnp.where(
+                    vis,
+                    jnp.maximum(state.max_radii2d,
+                                out["radii"].astype(jnp.float32)),
+                    state.max_radii2d,
+                ),
+            )
 
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         if xyz_lr_schedule is not None:
@@ -163,7 +201,7 @@ def make_gaussianavatars_step(
         aux = dict(losses)
         aux["num_alive"] = jnp.sum(state.alive)
         aux["psnr"] = -10.0 * jnp.log10(jnp.mean((out["rgb_image"] - frame.rgb) ** 2))
-        aux["overflow"] = out["overflow"]
+        aux["overflow"] = jnp.sum(out["overflow"])
         return new_ts, aux
 
     return jax.jit(step_fn, donate_argnums=(0,))
@@ -186,7 +224,7 @@ def flashavatar_optimizer(training_cfg: dict) -> MultiAdam:
 
 def make_flashavatar_step(model, net, loss_fn, optimizer: MultiAdam,
                           render_cfg: RenderConfig = RenderConfig()):
-    def loss_of(params, frame: Frame):
+    def loss_one(params, frame: Frame):
         out = FA.flash_forward(
             model, params, net, frame.expression, frame.flame_pose,
             frame.camera, bg_color=frame.bg_color, render_cfg=render_cfg,
@@ -197,6 +235,15 @@ def make_flashavatar_step(model, net, loss_fn, optimizer: MultiAdam,
         losses["psnr"] = -10.0 * jnp.log10(
             jnp.mean((out["rgb_image"] - frame.rgb) ** 2))
         return losses["loss"], losses
+
+    def loss_of(params, frame: Frame):
+        # batched Frame (leading B, e.g. sharded over a DP mesh): mean loss,
+        # XLA inserts the gradient psum from the input shardings
+        if frame.rgb.ndim == 4:
+            losses = jax.vmap(lambda f: loss_one(params, f)[1])(frame)
+            losses = jax.tree.map(jnp.mean, losses)
+            return losses["loss"], losses
+        return loss_one(params, frame)
 
     grad_fn = jax.grad(loss_of, has_aux=True)
 
@@ -231,7 +278,7 @@ def splattingavatar_optimizer(training_cfg: dict) -> MultiAdam:
 def make_splattingavatar_step(model, loss_fn, optimizer: MultiAdam,
                               render_cfg: RenderConfig = RenderConfig(),
                               triangle_walk_interval: int = 100):
-    def loss_of(params, state, frame: Frame):
+    def loss_one(params, state, frame: Frame):
         out = SA.splat_forward(
             model, params, state, frame.expression, frame.flame_pose,
             frame.camera, bg_color=frame.bg_color, render_cfg=render_cfg,
@@ -241,6 +288,13 @@ def make_splattingavatar_step(model, loss_fn, optimizer: MultiAdam,
         losses["psnr"] = -10.0 * jnp.log10(
             jnp.mean((out["rgb_image"] - frame.rgb) ** 2))
         return losses["loss"], losses
+
+    def loss_of(params, state, frame: Frame):
+        if frame.rgb.ndim == 4:       # batched / data-parallel frames
+            losses = jax.vmap(lambda f: loss_one(params, state, f)[1])(frame)
+            losses = jax.tree.map(jnp.mean, losses)
+            return losses["loss"], losses
+        return loss_one(params, state, frame)
 
     grad_fn = jax.grad(loss_of, has_aux=True)
 
@@ -285,7 +339,7 @@ def monogaussianavatar_optimizer(training_cfg: dict) -> MultiAdam:
 
 def make_monogaussianavatar_step(model, nets, loss_fn, optimizer: MultiAdam,
                                  render_cfg: RenderConfig = RenderConfig()):
-    def loss_of(params, state, frame: Frame):
+    def loss_one(params, state, frame: Frame):
         out = MA.mono_forward(
             model, params, state, nets, frame.expression, frame.flame_pose,
             frame.camera, bg_color=frame.bg_color, render_cfg=render_cfg,
@@ -295,6 +349,14 @@ def make_monogaussianavatar_step(model, nets, loss_fn, optimizer: MultiAdam,
         losses["psnr"] = -10.0 * jnp.log10(
             jnp.mean((out["rgb_image"] - frame.rgb) ** 2))
         return losses["loss"], (losses, out["visible_now"])
+
+    def loss_of(params, state, frame: Frame):
+        if frame.rgb.ndim == 4:       # batched / data-parallel frames
+            losses, vis = jax.vmap(
+                lambda f: loss_one(params, state, f)[1])(frame)
+            losses = jax.tree.map(jnp.mean, losses)
+            return losses["loss"], (losses, jnp.any(vis, axis=0))
+        return loss_one(params, state, frame)
 
     grad_fn = jax.grad(loss_of, has_aux=True)
 

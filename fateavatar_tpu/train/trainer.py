@@ -142,29 +142,38 @@ class Trainer:
         # data-parallel epoch driving (SURVEY.md §7 step 12 — a NEW
         # capability over the single-GPU reference): frames batch over a
         # device mesh, splat state replicates, gradients psum over ICI.
-        # Per-frame tracking refinement and family adapters stay
-        # single-device for now (the per-row embedding update is serial in
-        # frame order by construction).
+        # Family adapters run their own batched steps (baseline_steps
+        # retrace on [B, ...] frames); tracking refinement runs as a
+        # batched row update after each device step.
         self.dp_mesh = None
         if data_parallel and data_parallel > 1:
-            if adapter is not None or self.tracking_enabled:
-                self.logger.log(
-                    "[dp] data_parallel requested but tracking/adapters are "
-                    "single-device; falling back to per-frame training")
-            else:
-                from fateavatar_tpu.parallel.data_parallel import (
-                    make_device_mesh, make_dp_train_step, replicate,
-                )
+            from fateavatar_tpu.parallel.data_parallel import (
+                make_device_mesh, make_dp_train_step, replicate,
+            )
 
-                self.dp_mesh = make_device_mesh(data_parallel)
+            self.dp_mesh = make_device_mesh(data_parallel)
+            if adapter is not None:
+                # baseline family steps accept batched frames directly;
+                # sharded inputs make XLA insert the ICI psum
+                self.dp_step = adapter.step
+            else:
                 self.dp_step = make_dp_train_step(
                     model, loss_fn, optimizer, self.dp_mesh,
                     maint_cfg, render_cfg,
                 )
-                self.ts = replicate(self.ts, self.dp_mesh)
-                self.logger.log(
-                    f"[dp] training over {data_parallel} devices "
-                    f"({jax.devices()[0].platform})")
+            self.ts = replicate(self.ts, self.dp_mesh)
+            if self.tracking_enabled:
+                self._batched_tracking_step = self._build_tracking_step(
+                    batched=True)
+                self.train_tables = replicate(self.train_tables, self.dp_mesh)
+                self.train_track_state = replicate(
+                    self.train_track_state, self.dp_mesh)
+            self.logger.log(
+                f"[dp] training over {data_parallel} devices "
+                f"({jax.devices()[0].platform})"
+                + (" with tracking refinement" if self.tracking_enabled
+                   else "")
+                + (f" [{adapter.name}]" if adapter is not None else ""))
 
     # ------------------------------------------------------------------
     # helpers
@@ -195,9 +204,23 @@ class Trainer:
             bg_color=self.bg_color,
         )
 
-    def _build_tracking_step(self):
+    def _build_tracking_step(self, batched: bool = False):
         model, loss_fn = self.model, self.loss_fn
-        render_cfg, state = self.render_cfg, None
+
+        if batched:
+            from fateavatar_tpu.train.tracking import make_batched_tracking_step
+
+            def loss_of_frame_b(expr, pose, cam_t, frame_const, shared):
+                R, fovx, fovy, rgb = frame_const
+                params, mstate = shared
+                camera = make_camera(
+                    R, cam_t, fovx, fovy,
+                    model.cfg.img_width, model.cfg.img_height,
+                )
+                out = self._forward(params, mstate, expr, pose, camera)
+                return loss_fn(out, {"rgb": rgb})["loss"]
+
+            return make_batched_tracking_step(loss_of_frame_b, self.track_opt)
 
         def loss_of_frame(expr, pose, cam_t, const):
             R, fovx, fovy, rgb, mstate, params = const
@@ -308,17 +331,48 @@ class Trainer:
                   "psnr": metrics_mod.Meter("PSNR")}
         t0 = time.perf_counter()
         pending = []
-        batch, last_sample = [], None
+        batch, batch_samples, last_sample = [], [], None
+        tables = self.train_tables if self.tracking_enabled else None
+        seen: set = set()
         for sample in Prefetcher(ds, order):
-            batch.append(self._make_frame(sample, None))
+            batch.append(self._make_frame(sample, tables))
+            batch_samples.append(sample)
             last_sample = sample
             if len(batch) < B:
                 continue
             frames = shard_frames(stack_frames(batch), self.dp_mesh)
-            batch = []
             self.ts, aux = self.dp_step(self.ts, frames)
             self.global_step += B
             pending.append(aux)
+
+            if self.tracking_enabled:
+                # batched tracking refinement on the same frames; padded
+                # tail duplicates (wrapped frame order) are masked out
+                idxs = np.asarray([s["idx"] for s in batch_samples], np.int32)
+                dup = np.zeros(len(idxs), bool)
+                for j, i in enumerate(idxs):
+                    if int(i) in seen:
+                        dup[j] = True     # padded tail wrap-around
+                    seen.add(int(i))
+                Rm = np.stack([np.asarray(s["cam_pose"], np.float32)[:3, :3].T
+                               for s in batch_samples])
+                fovx = np.asarray([s["fovx"] for s in batch_samples],
+                                  np.float32)
+                fovy = np.asarray([s["fovy"] for s in batch_samples],
+                                  np.float32)
+                consts = (
+                    jnp.asarray(Rm), jnp.asarray(fovx), jnp.asarray(fovy),
+                    frames.rgb,
+                )
+                (self.train_tables,
+                 self.train_track_state) = self._batched_tracking_step(
+                    self.train_tables, self.train_track_state,
+                    jnp.asarray(idxs), jnp.asarray(~dup), consts,
+                    (self.ts.params, self.ts.state),
+                )
+                tables = self.train_tables
+
+            batch, batch_samples = [], []
             if len(pending) >= 50:
                 for a in jax.device_get(pending):
                     meters["loss"].update(float(a["loss"]))

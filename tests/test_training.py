@@ -306,3 +306,72 @@ class TestTrainerDP:
         # 10 frames pad to 16 = two dp steps of 8
         assert tr.global_step == 16
         assert int(np.asarray(jax.device_get(tr.ts.state.alive)).sum()) > 0
+
+    def test_trainer_dp_tracking_epoch(self):
+        """DP epochs with tracking refinement: each frame's row takes
+        exactly ONE SparseAdam step (padded tail duplicates masked), and
+        the rows move."""
+        ds = SyntheticDataset(num_frames=10, img_res=(RES, RES), n_exp=4)
+        ds.optimize_tracking = True
+        tr = build_trainer(data_parallel=8)
+        # rebuild with a tracking-enabled dataset
+        flame = synthetic_flame(n_verts=96, n_shape=6, n_exp=4, seed=0)
+        mesh = sphere_obj_mesh(96)
+        cfg = FateAvatarConfig(tex_size=8, capacity=128, img_height=RES,
+                               img_width=RES, normal_offset=0.02)
+        model, params, state = init_fateavatar(mesh, flame, cfg)
+        tr = Trainer(
+            name="dp_track", model=model, params=params, state=state,
+            loss_fn=FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0)),
+            optimizer=fateavatar_optimizers({}),
+            train_dataset=ds, workspace=None, render_cfg=RENDER_CFG,
+            maint_cfg=MaintenanceConfig(densify_interval=10**9,
+                                        prune_interval=10**9,
+                                        opacity_reset_interval=10**9),
+            snapshot_interval=10**9,
+            data_parallel=8,
+        )
+        assert tr.dp_mesh is not None and tr.tracking_enabled
+        before = np.asarray(jax.device_get(tr.train_tables.expression)).copy()
+        tr.epoch = 1
+        tr.train_epoch()
+        after = np.asarray(jax.device_get(tr.train_tables.expression))
+        assert not np.allclose(before, after)
+        counts = np.asarray(jax.device_get(tr.train_track_state.count))
+        # 10 frames pad to 16; the 6 wrapped duplicates must be masked
+        assert (counts == 1).all(), counts
+
+    def test_trainer_dp_family_adapter(self):
+        """A baseline family trains data-parallel through its adapter (the
+        batched step path in baseline_steps)."""
+        from fateavatar_tpu.train.adapters import make_family_adapter
+        from fateavatar_tpu.train import registry
+        from fateavatar_tpu.train.baseline_steps import (
+            flashavatar_optimizer,
+        )
+        from fateavatar_tpu.train.losses import (
+            FlashAvatarLoss, FlashAvatarLossConfig,
+        )
+
+        flame = synthetic_flame(n_verts=96, n_shape=6, n_exp=4, seed=0)
+        mesh = sphere_obj_mesh(96)
+        entry = registry.get("flashavatar")
+        bundle = entry.build_model(
+            mesh, flame, dict(tex_size=8, img_height=RES, img_width=RES),
+        )
+        loss_fn = FlashAvatarLoss(FlashAvatarLossConfig(lpips_weight=0.0))
+        opt = flashavatar_optimizer({})
+        adapter = make_family_adapter(
+            "flashavatar", bundle, loss_fn, opt, RENDER_CFG, {},
+        )
+        ds = SyntheticDataset(num_frames=10, img_res=(RES, RES), n_exp=4)
+        tr = Trainer(
+            name="dp_flash", model=bundle[0], params=bundle[1], state=None,
+            loss_fn=loss_fn, optimizer=opt, train_dataset=ds,
+            workspace=None, render_cfg=RENDER_CFG,
+            adapter=adapter, data_parallel=8, snapshot_interval=10**9,
+        )
+        assert tr.dp_mesh is not None
+        tr.epoch = 1
+        tr.train_epoch()
+        assert tr.global_step == 16
