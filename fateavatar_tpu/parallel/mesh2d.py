@@ -1,0 +1,178 @@
+"""2-D mesh training: data-parallel frames x model-parallel splats.
+
+Combines the two scaling axes (SURVEY.md §7 step 12) into ONE jitted
+training step over a ``Mesh(("data", "gauss"))``:
+
+* frames shard over ``data`` (one frame per mesh row, as in
+  parallel/data_parallel.py),
+* every per-splat parameter/state leaf shards over ``gauss`` while the
+  FLAME deltas replicate (parallel/splat_parallel.py's axis),
+* inside the shard_map each (data, gauss) cell FLAME-drives its local
+  splat shard for its row's frame, renders its tile-row slice through
+  :func:`render_shard_body` (candidates reshard to tile owners over an ICI
+  all_to_all), and contributes a pixel-loss share for the rows it owns,
+* one ``psum`` over both axes produces the replicated scalar loss; JAX AD
+  transposes the whole pipeline (all_to_all -> all_to_all, psum ->
+  broadcast), so per-splat gradients come back already gauss-sharded and
+  delta gradients already all-reduced.
+
+This is the >1M-splat training configuration: no device ever materializes
+the full splat state. Densification is intentionally not run in this mode
+(the categorical source sampling is a global operation; run maintenance on
+a replicated checkpoint between phases, as coarse-to-fine schedules do).
+The loss is the rgb L1 + scale-anisotropy subset — the terms that remain
+meaningful when no device sees the whole image (DSSIM/VGG windows would
+straddle tile-row shard boundaries).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fateavatar_tpu.models.fateavatar import (
+    FateAvatarModel,
+    FateAvatarParams,
+    FateAvatarState,
+    build_gaussians,
+)
+from fateavatar_tpu.parallel.splat_parallel import render_shard_body
+from fateavatar_tpu.render import binning
+from fateavatar_tpu.render.blend_tiles import tiles_to_image
+from fateavatar_tpu.train.optim import MultiAdam, apply_updates
+from fateavatar_tpu.train.step import Frame, TrainState
+
+
+def fateavatar_mesh2d_specs(
+    data_axis: str = "data", gauss_axis: str = "gauss",
+) -> Tuple[FateAvatarParams, FateAvatarState]:
+    """PartitionSpec pytrees for FateAvatar params/state under the 2-D
+    mesh: per-splat leaves shard over ``gauss``, FLAME deltas replicate."""
+    g = P(gauss_axis)
+    r = P()
+    params_spec = FateAvatarParams(
+        offset=g, features_dc=g, features_rest=g, scaling=g, rotation=g,
+        opacity=g, delta_shapedirs=r, delta_posedirs=r, delta_vertex=r,
+    )
+    state_spec = FateAvatarState(
+        face_index=g, bary_coords=g, alive=g, xyz_gradient_accum=g,
+        denom=g, sample_flag=g, max_radii2d=g,
+    )
+    return params_spec, state_spec
+
+
+def place_mesh2d(ts: TrainState, mesh: Mesh,
+                 data_axis: str = "data", gauss_axis: str = "gauss"):
+    """Device-put a TrainState for the 2-D mesh (optimizer moments follow
+    their parameter leaves; scalars replicate)."""
+    pspec, sspec = fateavatar_mesh2d_specs(data_axis, gauss_axis)
+    return TrainState(
+        params=jax.device_put(
+            ts.params, jax.tree.map(lambda s: NamedSharding(mesh, s), pspec)),
+        state=jax.device_put(
+            ts.state, jax.tree.map(lambda s: NamedSharding(mesh, s), sspec)),
+        opt_state=ts.opt_state.replace(
+            mu=jax.device_put(ts.opt_state.mu, jax.tree.map(
+                lambda s: NamedSharding(mesh, s), pspec)),
+            nu=jax.device_put(ts.opt_state.nu, jax.tree.map(
+                lambda s: NamedSharding(mesh, s), pspec)),
+            count=jax.device_put(ts.opt_state.count,
+                                 NamedSharding(mesh, P())),
+        ),
+        step=jax.device_put(ts.step, NamedSharding(mesh, P())),
+        key=jax.device_put(ts.key, NamedSharding(mesh, P())),
+    )
+
+
+def make_mesh2d_train_step(
+    model: FateAvatarModel,
+    optimizer: MultiAdam,
+    mesh: Mesh,
+    *,
+    data_axis: str = "data",
+    gauss_axis: str = "gauss",
+    rgb_weight: float = 1.0,
+    scale_weight: float = 0.1,
+    scale_threshold: float = 9.0,
+    max_tiles_per_gaussian: int = 16,
+    pair_budget: int = 0,
+    max_per_tile: int = 1024,
+    chunk: int = 32,
+):
+    """Build the jitted 2-D-mesh training step:
+    ``(TrainState, Frame[Bd]) -> (TrainState, aux)``.
+
+    The caller places the TrainState with :func:`place_mesh2d` and the
+    batched frames with ``NamedSharding(mesh, P(data_axis))`` (leading
+    batch dim == mesh.shape[data_axis]).
+    """
+    Bd = mesh.shape[data_axis]
+    Dg = mesh.shape[gauss_axis]
+    H, W = model.cfg.img_height, model.cfg.img_width
+    grid = binning.tile_grid(W, H)
+    ty, tx = grid
+    assert ty % Dg == 0, f"tile rows {ty} must divide over gauss={Dg}"
+    rows_per_dev = ty // Dg
+    row_px = rows_per_dev * binning.TILE
+    pspec, sspec = fateavatar_mesh2d_specs(data_axis, gauss_axis)
+
+    def local_loss(params, state, frames: Frame):
+        # this cell's frame (leading local batch of 1) and splat shard
+        f = jax.tree.map(lambda x: x[0], frames)
+        n_local = params.scaling.shape[0]
+        n_total = n_local * Dg
+
+        gaussians, _, _ = build_gaussians(
+            model, params, state, f.expression, f.flame_pose
+        )
+        img_tiles, dropped = render_shard_body(
+            f.camera, gaussians, f.bg_color, axis=gauss_axis, n_devices=Dg,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            pair_budget=pair_budget, max_per_tile=max_per_tile, chunk=chunk,
+        )
+        local_img = tiles_to_image(
+            img_tiles, (rows_per_dev, tx), W, row_px
+        )                                                   # [row_px, W, 3]
+        dev = jax.lax.axis_index(gauss_axis)
+        gt_rows = jax.lax.dynamic_slice_in_dim(
+            f.rgb, dev * row_px, row_px, axis=0
+        )
+        # shares are scaled so the FULL-mesh psum is the true batch loss:
+        # pixel rows partition over gauss, frames partition over data
+        pix = jnp.sum(jnp.abs(local_img - gt_rows)) / (H * W * 3 * Bd)
+        s = jnp.exp(params.scaling)
+        ratio = jnp.max(s, axis=-1) / jnp.maximum(jnp.min(s, axis=-1), 1e-12)
+        reg = jnp.sum(
+            jnp.where(state.alive, jnp.maximum(ratio - scale_threshold, 0.0),
+                      0.0)
+        ) / (n_total * Bd)                  # /Bd: replicated over data rows
+
+        local = rgb_weight * pix + scale_weight * reg
+        total = jax.lax.psum(local, (data_axis, gauss_axis))
+        overflow = jax.lax.psum(jnp.sum(dropped), (data_axis, gauss_axis))
+        return total, overflow
+
+    sharded_loss = shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(pspec, sspec, P(data_axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    grad_fn = jax.value_and_grad(
+        lambda p, s, fr: sharded_loss(p, s, fr), has_aux=True
+    )
+
+    def step_fn(ts: TrainState, frames: Frame):
+        (loss, overflow), grads = grad_fn(ts.params, ts.state, frames)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        params = apply_updates(ts.params, updates)
+        new_ts = TrainState(params=params, state=ts.state,
+                            opt_state=opt_state, step=ts.step + 1, key=ts.key)
+        return new_ts, {"loss": loss, "overflow": overflow}
+
+    return jax.jit(step_fn, donate_argnums=(0,))
