@@ -121,6 +121,8 @@ def render_config(cfg: Config) -> RenderConfig:
         max_per_tile=cfg.render.max_per_tile,
         max_tiles_per_gaussian=cfg.render.max_tiles_per_gaussian,
         chunk=cfg.render.chunk,
+        instance_budget=cfg.render.instance_budget,
+        t_cutoff=cfg.render.t_cutoff,
     )
 
 

@@ -94,6 +94,14 @@ class RenderSection:
     max_per_tile: int = 1024
     max_tiles_per_gaussian: int = 64
     chunk: int = 64
+    # static instance-array budget (0 = auto 4N); trained 512^2 avatars fit
+    # 2N (bench.py) — overflow is counted and logged, never silent
+    instance_budget: int = 0
+    # > 0 enables the chunk-granular T < cutoff early exit (renderCUDA's
+    # per-pixel 1e-4 semantics, forward.cu:343-351). Default 0 keeps the
+    # exact closed form — A/B'd faster on dense synthetic workloads, the
+    # cutoff pays off on saturated trained avatars
+    t_cutoff: float = 0.0
 
 
 @dataclass

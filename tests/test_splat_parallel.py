@@ -120,3 +120,63 @@ def test_mesh2d_train_step():
     # second step reuses the compiled program
     ts, aux2 = step(ts, batch)
     assert float(jax.device_get(aux2["loss"])) <= loss * 1.5
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8-device mesh")
+def test_mesh2d_loss_matches_single_device():
+    """The 2-D mesh loss (sharded pixel rows + sharded scale reg) equals
+    the same quantities computed on one device from the same params."""
+    from fateavatar_tpu.flame import synthetic_flame
+    from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
+    from fateavatar_tpu.models.fateavatar import build_gaussians
+    from fateavatar_tpu.parallel.mesh2d import (
+        make_mesh2d_train_step, place_mesh2d,
+    )
+    from fateavatar_tpu.render.render import RenderConfig, render
+    from fateavatar_tpu.train.optim import fateavatar_optimizers
+    from fateavatar_tpu.train.step import Frame, init_train_state
+    from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+
+    res = 64
+    flame = synthetic_flame(n_verts=96, n_shape=4, n_exp=4, seed=0)
+    mesh_obj = sphere_obj_mesh(96)
+    cfg = FateAvatarConfig(tex_size=8, capacity=128, img_height=res,
+                           img_width=res, normal_offset=0.02)
+    model, params, state = init_fateavatar(mesh_obj, flame, cfg)
+    opt = fateavatar_optimizers({})
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "gauss"))
+    # generous caps so neither path drops instances
+    step = make_mesh2d_train_step(model, opt, mesh, max_per_tile=128,
+                                  chunk=32, pair_budget=2048,
+                                  rgb_weight=1.0, scale_weight=0.0)
+    ts = place_mesh2d(init_train_state(params, state, opt), mesh)
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for _ in range(2):
+        cam = make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                          0.8, 0.8, res, res)
+        frames.append(Frame(
+            expression=jnp.asarray(rng.normal(size=4) * 0.2, jnp.float32),
+            flame_pose=jnp.asarray(rng.normal(size=15) * 0.05, jnp.float32),
+            camera=cam,
+            rgb=jnp.asarray(rng.random((res, res, 3)), jnp.float32),
+            bg_color=jnp.ones(3),
+        ))
+    batch = jax.device_put(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *frames),
+        NamedSharding(mesh, P("data")))
+    _, aux = step(ts, batch)
+    assert int(jax.device_get(aux["overflow"])) == 0
+
+    # single-device reference: same L1 over both frames
+    rcfg = RenderConfig(impl="xla", max_per_tile=128, chunk=32)
+    ref = 0.0
+    for f in frames:
+        g, _, _ = build_gaussians(model, params, state,
+                                  f.expression, f.flame_pose)
+        out = render(f.camera, g, f.bg_color, config=rcfg)
+        ref += float(jnp.mean(jnp.abs(out["render"] - f.rgb))) / 2
+    got = float(jax.device_get(aux["loss"]))
+    np.testing.assert_allclose(got, ref, rtol=2e-4)
