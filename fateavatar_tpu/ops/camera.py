@@ -163,6 +163,70 @@ def make_camera(
     )
 
 
+def make_camera_np(
+    R,
+    T,
+    fovx,
+    fovy,
+    width: int,
+    height: int,
+    intrinsics=None,
+    znear: float = 0.01,
+    zfar: float = 100.0,
+) -> Camera:
+    """Host-side :func:`make_camera`: identical math in NUMPY, zero device
+    dispatches. On a remote-TPU (tunnelled) backend every eager jnp op in
+    the trainer's per-frame loop costs a ~ms round trip — ~10 of them made
+    the Trainer 7x slower than the bare jitted step. The numpy Camera's
+    leaves upload once, inside the train-step dispatch itself."""
+    import numpy as np
+
+    R = np.asarray(R, np.float32)
+    T = np.asarray(T, np.float32)
+    fovx = np.float32(fovx)
+    fovy = np.float32(fovy)
+
+    view = np.eye(4, dtype=np.float32)
+    view[:3, :3] = R.T
+    view[:3, 3] = T
+
+    tan_half_fovy = np.tan(fovy / 2.0)
+    tan_half_fovx = np.tan(fovx / 2.0)
+    top = tan_half_fovy * znear
+    bottom = -top
+    right = tan_half_fovx * znear
+    left = -right
+    if intrinsics is not None:
+        K = np.asarray(intrinsics, np.float32)
+        off_x = (K[0, 2] - width / 2.0) / K[0, 0] * znear
+        off_y = (K[1, 2] - height / 2.0) / K[1, 1] * znear
+        top += off_y
+        bottom += off_y
+        left += off_x
+        right += off_x
+    P = np.zeros((4, 4), np.float32)
+    P[0, 0] = 2.0 * znear / (right - left)
+    P[0, 2] = (right + left) / (right - left)
+    P[1, 1] = 2.0 * znear / (top - bottom)
+    P[1, 2] = (top + bottom) / (top - bottom)
+    P[2, 2] = zfar / (zfar - znear)
+    P[2, 3] = -(zfar * znear) / (zfar - znear)
+    P[3, 2] = 1.0
+
+    return Camera(
+        view=view,
+        proj=P,
+        full_proj=P @ view,
+        campos=-view[:3, :3].T @ view[:3, 3],
+        fovx=np.asarray(fovx, np.float32),
+        fovy=np.asarray(fovy, np.float32),
+        width=width,
+        height=height,
+        znear=znear,
+        zfar=zfar,
+    )
+
+
 def look_at_camera(
     eye,
     target,

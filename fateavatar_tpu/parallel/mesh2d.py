@@ -45,6 +45,7 @@ from fateavatar_tpu.render import binning
 from fateavatar_tpu.render.blend_tiles import tiles_to_image
 from fateavatar_tpu.train.optim import MultiAdam, apply_updates
 from fateavatar_tpu.train.step import Frame, TrainState
+from fateavatar_tpu.train.losses import as_float_rgb
 
 
 def fateavatar_mesh2d_specs(
@@ -139,7 +140,7 @@ def make_mesh2d_train_step(
         )                                                   # [row_px, W, 3]
         dev = jax.lax.axis_index(gauss_axis)
         gt_rows = jax.lax.dynamic_slice_in_dim(
-            f.rgb, dev * row_px, row_px, axis=0
+            as_float_rgb(f.rgb), dev * row_px, row_px, axis=0
         )
         # shares are scaled so the FULL-mesh psum is the true batch loss:
         # pixel rows partition over gauss, frames partition over data

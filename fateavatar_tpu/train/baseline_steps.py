@@ -26,6 +26,7 @@ from fateavatar_tpu.train.optim import (
     zero_moment_rows,
 )
 from fateavatar_tpu.train.step import Frame
+from fateavatar_tpu.train.losses import as_float_rgb
 
 
 @struct.dataclass
@@ -200,7 +201,7 @@ def make_gaussianavatars_step(
                                     opt_state=opt_state, step=step, key=key)
         aux = dict(losses)
         aux["num_alive"] = jnp.sum(state.alive)
-        aux["psnr"] = -10.0 * jnp.log10(jnp.mean((out["rgb_image"] - frame.rgb) ** 2))
+        aux["psnr"] = -10.0 * jnp.log10(jnp.mean((out["rgb_image"] - as_float_rgb(frame.rgb)) ** 2))
         aux["overflow"] = jnp.sum(out["overflow"])
         return new_ts, aux
 
@@ -233,7 +234,7 @@ def make_flashavatar_step(model, net, loss_fn, optimizer: MultiAdam,
         losses = loss_fn(out, gt)
         losses = dict(losses)
         losses["psnr"] = -10.0 * jnp.log10(
-            jnp.mean((out["rgb_image"] - frame.rgb) ** 2))
+            jnp.mean((out["rgb_image"] - as_float_rgb(frame.rgb)) ** 2))
         return losses["loss"], losses
 
     def loss_of(params, frame: Frame):
@@ -286,7 +287,7 @@ def make_splattingavatar_step(model, loss_fn, optimizer: MultiAdam,
         losses = loss_fn(out, {"rgb": frame.rgb})
         losses = dict(losses)
         losses["psnr"] = -10.0 * jnp.log10(
-            jnp.mean((out["rgb_image"] - frame.rgb) ** 2))
+            jnp.mean((out["rgb_image"] - as_float_rgb(frame.rgb)) ** 2))
         return losses["loss"], losses
 
     def loss_of(params, state, frame: Frame):
@@ -347,7 +348,7 @@ def make_monogaussianavatar_step(model, nets, loss_fn, optimizer: MultiAdam,
         losses = loss_fn(out, {"rgb": frame.rgb})
         losses = dict(losses)
         losses["psnr"] = -10.0 * jnp.log10(
-            jnp.mean((out["rgb_image"] - frame.rgb) ** 2))
+            jnp.mean((out["rgb_image"] - as_float_rgb(frame.rgb)) ** 2))
         return losses["loss"], (losses, out["visible_now"])
 
     def loss_of(params, state, frame: Frame):

@@ -39,6 +39,16 @@ def l2_loss(pred, gt):
     return jnp.mean((pred - gt) ** 2)
 
 
+
+def as_float_rgb(x):
+    """Accept uint8 ground-truth images (shipped 4x smaller over the
+    host->device link and cached on-device by the Trainer) transparently:
+    convert to float32/255 INSIDE the jitted loss."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 def huber_loss(pred, gt, alpha: float = 0.1):
     """Reference FlashAvatar huber (train/loss.py:217-221)."""
     diff = jnp.abs(pred - gt)
@@ -286,7 +296,7 @@ class FlashAvatarLoss:
         self.cfg = cfg
 
     def __call__(self, model_out: dict, ground_truth: dict, cur_step=None):
-        pred, gt = model_out["rgb_image"], ground_truth["rgb"]
+        pred, gt = model_out["rgb_image"], as_float_rgb(ground_truth["rgb"])
         loss = huber_loss(pred, gt, 0.1)
         if ground_truth.get("mouth_mask") is not None:
             m = ground_truth["mouth_mask"]
@@ -313,7 +323,7 @@ class GaussianAvatarsLoss:
 
     def __call__(self, model_out: dict, ground_truth: dict, cur_step=None):
         cfg = self.cfg
-        pred, gt = model_out["rgb_image"], ground_truth["rgb"]
+        pred, gt = model_out["rgb_image"], as_float_rgb(ground_truth["rgb"])
         rgb = l1_loss(pred, gt)
         loss = rgb * cfg.rgb_weight
         out = {"rgb_loss": rgb}
@@ -362,7 +372,7 @@ class SplattingAvatarLoss:
 
     def __call__(self, model_out: dict, ground_truth: dict, cur_step=None):
         cfg = self.cfg
-        pred, gt = model_out["rgb_image"], ground_truth["rgb"]
+        pred, gt = model_out["rgb_image"], as_float_rgb(ground_truth["rgb"])
         rgb = l1_loss(pred, gt)
         loss = rgb * cfg.rgb_weight
         out = {"rgb_loss": rgb}
@@ -419,7 +429,7 @@ class MonoGaussianAvatarLoss:
 
     def __call__(self, model_out: dict, ground_truth: dict, cur_step=None):
         cfg = self.cfg
-        pred, gt = model_out["rgb_image"], ground_truth["rgb"]
+        pred, gt = model_out["rgb_image"], as_float_rgb(ground_truth["rgb"])
         rgb = l1_loss(pred, gt)
         loss = rgb * cfg.rgb_weight
         out = {"rgb_loss": rgb}
@@ -511,7 +521,7 @@ class FateAvatarLoss:
     def __call__(self, model_out: dict, ground_truth: dict):
         cfg = self.cfg
         pred = model_out["rgb_image"]
-        gt = ground_truth["rgb"]
+        gt = as_float_rgb(ground_truth["rgb"])
 
         rgb = l1_loss(pred, gt) if cfg.rgb_type == "l1" else l2_loss(pred, gt)
         loss = rgb * cfg.rgb_weight

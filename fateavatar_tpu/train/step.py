@@ -27,6 +27,7 @@ from fateavatar_tpu.models.fateavatar import (
 from fateavatar_tpu.models import maintenance
 from fateavatar_tpu.ops.camera import Camera
 from fateavatar_tpu.render.render import RenderConfig
+from fateavatar_tpu.train.losses import as_float_rgb
 from fateavatar_tpu.train.optim import (
     MultiAdam,
     MultiAdamState,
@@ -164,7 +165,7 @@ def make_train_step(
         aux["num_alive"] = jnp.sum(state.alive)
         aux["overflow"] = out["overflow"]
         aux["psnr"] = -10.0 * jnp.log10(
-            jnp.mean((out["rgb_image"] - frame.rgb) ** 2)
+            jnp.mean((out["rgb_image"] - as_float_rgb(frame.rgb)) ** 2)
         )
         return new_ts, aux
 

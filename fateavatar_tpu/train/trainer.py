@@ -68,6 +68,7 @@ class Trainer:
         seed: int = 0,
         adapter=None,
         data_parallel: int = 0,
+        device_frame_cache: str = "auto",
     ):
         self.name = name
         self.model = model
@@ -84,6 +85,25 @@ class Trainer:
         self.logger = Logger(name, workspace)
         self.epoch = 0
         self.global_step = 0
+
+        # Device-resident uint8 frame cache. Host->device image upload is
+        # the trainer's throughput ceiling when the link is slow (measured:
+        # a 512^2 float32 frame at ~48 MB/s through the remote-TPU tunnel
+        # capped training at 14 it/s vs 91 for the step itself). Frames are
+        # shipped ONCE as uint8 (4x smaller), kept in HBM, and converted to
+        # float inside the jitted loss (losses.as_float_rgb). "auto"
+        # enables it when the whole dataset fits a conservative HBM budget.
+        h, w = model.cfg.img_height, model.cfg.img_width
+        est_bytes = len(train_dataset) * h * w * 3
+        self._frame_cache: Optional[dict] = None
+        if device_frame_cache == "on" or (
+            device_frame_cache == "auto" and est_bytes <= 4 << 30
+        ):
+            self._frame_cache = {}
+        elif device_frame_cache == "auto":
+            self.logger.log(
+                f"[cache] dataset ~{est_bytes >> 20} MiB exceeds the 4 GiB "
+                "device-frame budget; streaming uploads per step")
 
         # family adapter (train/adapters.py): None -> built-in FateAvatar
         # wiring; otherwise any registry family trains through this Trainer
@@ -180,27 +200,48 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _make_frame(self, sample: dict, tables: Optional[TrackingTables]) -> Frame:
+        # All-numpy frame construction (make_camera_np): zero eager device
+        # ops per frame. On the tunnelled remote-TPU backend eager jnp ops
+        # cost ~ms each and capped the Trainer at 13 it/s while the jitted
+        # step ran at 91 — numpy leaves upload inside the step dispatch.
+        from fateavatar_tpu.ops.camera import make_camera_np
+
         h = self.model.cfg.img_height
         w = self.model.cfg.img_width
         idx = sample["idx"]
-        expr = jnp.asarray(sample["expression"], jnp.float32)
-        pose = jnp.asarray(sample["flame_pose"], jnp.float32)
+        expr = np.asarray(sample["expression"], np.float32)
+        pose = np.asarray(sample["flame_pose"], np.float32)
         cam_pose = np.asarray(sample["cam_pose"], np.float32)
         T = cam_pose[:3, 3]
         if tables is not None:
+            # tracked rows live on device; the camera is then built with
+            # the eager jnp path (its T input is a device row)
             expr = tables.expression[idx]
             pose = tables.flame_pose[idx]
-            T = tables.cam_t[idx]
-        camera = make_camera(
-            cam_pose[:3, :3].T, T,
-            sample["fovx"], sample["fovy"], w, h,
-            intrinsics=sample.get("intrinsics_K"),  # NeRSemble-style shift
-        )
+            camera = make_camera(
+                cam_pose[:3, :3].T, tables.cam_t[idx],
+                sample["fovx"], sample["fovy"], w, h,
+                intrinsics=sample.get("intrinsics_K"),
+            )
+        else:
+            camera = make_camera_np(
+                cam_pose[:3, :3].T, T,
+                sample["fovx"], sample["fovy"], w, h,
+                intrinsics=sample.get("intrinsics_K"),  # NeRSemble shift
+            )
+        rgb = np.asarray(sample["ground_truth"]["rgb"], np.float32)
+        if self._frame_cache is not None:
+            dev = self._frame_cache.get(idx)
+            if dev is None:
+                dev = jax.device_put(
+                    np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8))
+                self._frame_cache[idx] = dev
+            rgb = dev
         return Frame(
             expression=expr,
             flame_pose=pose,
             camera=camera,
-            rgb=jnp.asarray(sample["ground_truth"]["rgb"], jnp.float32),
+            rgb=rgb,
             bg_color=self.bg_color,
         )
 

@@ -1,0 +1,90 @@
+"""Full-size Trainer validation on the real TPU: reconstruct a ground-truth
+avatar at 512^2 / 65k splats THROUGH the Trainer loop (prefetch, meters,
+maintenance — not the bare bench step) and report trainer-loop it/s + PSNR.
+
+Usage: python scripts/validate_tpu_training.py [epochs] [frames]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(epochs: int = 3, frames: int = 100):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fateavatar_tpu.flame import synthetic_flame
+    from fateavatar_tpu.models import (
+        FateAvatarConfig, fateavatar_forward, init_fateavatar,
+    )
+    from fateavatar_tpu.ops.camera import make_camera
+    from fateavatar_tpu.render.render import RenderConfig
+    from fateavatar_tpu.train.datasets import SyntheticDataset
+    from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
+    from fateavatar_tpu.train.optim import fateavatar_optimizers
+    from fateavatar_tpu.train.step import MaintenanceConfig
+    from fateavatar_tpu.train.trainer import Trainer
+    from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+
+    res, tex, capacity = 512, 256, 70_000
+    backend = jax.default_backend()
+    flame = synthetic_flame(n_verts=512, n_shape=8, n_exp=6, seed=0)
+    mesh = sphere_obj_mesh(512)
+    cfg = FateAvatarConfig(tex_size=tex, capacity=capacity, img_height=res,
+                           img_width=res, normal_offset=0.02)
+    render_cfg = RenderConfig(
+        impl="pallas" if backend == "tpu" else "xla",
+        max_per_tile=1024, chunk=64, instance_budget=2 * capacity,
+        max_tiles_per_gaussian=8,
+    )
+
+    # ground-truth avatar with randomized appearance
+    model, gt_params, gt_state = init_fateavatar(mesh, flame, cfg)
+    rng = np.random.default_rng(7)
+    gt_params = gt_params.replace(
+        features_dc=jnp.asarray(
+            rng.uniform(-1.2, 1.2, gt_params.features_dc.shape), jnp.float32),
+        opacity=jnp.full_like(gt_params.opacity, 2.0),
+    )
+
+    ds = SyntheticDataset(num_frames=frames, img_res=(res, res), n_shape=8,
+                          n_exp=6, seed=1)
+    gt_render = jax.jit(lambda e, p, cam: fateavatar_forward(
+        model, gt_params, gt_state, e, p, cam,
+        bg_color=jnp.ones(3), render_cfg=render_cfg)["rgb_image"])
+    t0 = time.perf_counter()
+    for i in range(frames):
+        s = ds.sample(i)
+        cam_pose = np.asarray(s["cam_pose"], np.float32)
+        cam = make_camera(cam_pose[:3, :3].T, cam_pose[:3, 3],
+                          s["fovx"], s["fovy"], res, res)
+        img = gt_render(jnp.asarray(s["expression"]),
+                        jnp.asarray(s["flame_pose"]), cam)
+        ds._images[i] = np.asarray(img)
+    print(f"[gt] rendered {frames} target frames in "
+          f"{time.perf_counter() - t0:.1f}s")
+
+    model2, params, state = init_fateavatar(mesh, flame, cfg)
+    tr = Trainer(
+        name="tpu_validate", model=model2, params=params, state=state,
+        loss_fn=FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
+                                                    dssim_weight=0.25)),
+        optimizer=fateavatar_optimizers({}),
+        train_dataset=ds, workspace=None,
+        maint_cfg=MaintenanceConfig(densify_interval=150, prune_interval=200,
+                                    opacity_reset_interval=10**9,
+                                    increase_num=1000,
+                                    max_points_num=capacity),
+        render_cfg=render_cfg, snapshot_interval=10**9,
+    )
+    for _ in range(epochs):
+        tr.epoch += 1
+        tr.train_epoch()
+
+
+if __name__ == "__main__":
+    main(*(int(a) for a in sys.argv[1:]))
