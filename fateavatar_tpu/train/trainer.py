@@ -245,6 +245,16 @@ class Trainer:
             bg_color=self.bg_color,
         )
 
+
+    @staticmethod
+    def _rgb_f32(rgb) -> np.ndarray:
+        """Host-side float view of a frame's gt (undoes the device cache's
+        uint8 encoding; jitted losses convert on-device via as_float_rgb)."""
+        arr = np.asarray(jax.device_get(rgb))
+        if arr.dtype == np.uint8:
+            return arr.astype(np.float32) / 255.0
+        return arr
+
     def _build_tracking_step(self, batched: bool = False):
         model, loss_fn = self.model, self.loss_fn
 
@@ -470,7 +480,7 @@ class Trainer:
             frame = self._make_frame(sample, tables)
             img = fwd(self.ts.params, self.ts.state, frame.expression,
                       frame.flame_pose, frame.camera)
-            gt = frame.rgb
+            gt = self._rgb_f32(frame.rgb)
             row = {"frame": sample["img_name"]}
             for key, meter in meters.items():
                 meter.update(img, gt)
@@ -573,7 +583,7 @@ class Trainer:
                                 frame.expression, frame.flame_pose,
                                 frame.camera)
             pred = np.asarray(out["rgb_image"])
-            gt = np.asarray(frame.rgb)
+            gt = self._rgb_f32(frame.rgb)
             l1 = np.abs(pred - gt).mean(-1, keepdims=True)
             heat = np.concatenate([l1, np.zeros_like(l1), 1.0 - l1], axis=-1)
             save_image_grid(
@@ -587,11 +597,12 @@ class Trainer:
             frame.expression, frame.flame_pose, frame.camera,
         )
         pred = np.asarray(vis["rgb_image"])
-        gt = np.asarray(frame.rgb)
+        gt = self._rgb_f32(frame.rgb)
         l1 = np.abs(pred - gt).mean(-1, keepdims=True)
         heat = np.concatenate([l1, np.zeros_like(l1), 1.0 - l1], axis=-1)
         mesh_panel = np.asarray(overlay_mesh(
-            frame.rgb, vis["verts"][0], self.model.faces, frame.camera
+            self._rgb_f32(frame.rgb), vis["verts"][0], self.model.faces,
+            frame.camera,
         ))
         save_image_grid(
             os.path.join(
