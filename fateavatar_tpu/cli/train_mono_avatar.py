@@ -54,6 +54,8 @@ def main(argv=None):
         tracking_lr=cfg.training.tracking_lr,
         seed=cfg.seed,
         data_parallel=args.dp,
+        snapshot_interval=cfg.training.snapshot_interval,
+        device_frame_cache=cfg.training.device_frame_cache,
     )
     if args.resume:
         trainer.load_checkpoint()

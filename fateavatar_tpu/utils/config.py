@@ -78,6 +78,8 @@ class TrainingSection:
     min_opacity: float = 0.005
     increase_num: int = 1000
     max_points_num: int = 200000
+    snapshot_interval: int = 1000          # media snapshot cadence
+    device_frame_cache: str = "auto"       # on | off | auto (HBM-resident uint8 gt)
     # baseline-family knobs
     densify_grad_threshold: float = 1e-4   # gaussianavatars clone/split gate
     densify_from_iter: int = 10000         # gaussianavatars densify warmup
