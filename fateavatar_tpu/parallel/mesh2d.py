@@ -89,6 +89,48 @@ def place_mesh2d(ts: TrainState, mesh: Mesh,
     )
 
 
+def mesh2d_maintenance(
+    ts: TrainState,
+    mesh: Mesh,
+    *,
+    increase_num: int = 1000,
+    min_opacity: float = 0.005,
+    max_points_num: int = 0,
+    data_axis: str = "data",
+    gauss_axis: str = "gauss",
+) -> TrainState:
+    """Between-phase densify + prune for the 2-D mesh mode.
+
+    The categorical source sampling needs the GLOBAL densification stats,
+    so this gathers the sharded state once, runs the same
+    models/maintenance ops the fused single-chip step uses, and re-places
+    the result on the mesh — the coarse-to-fine phase boundary the module
+    docstring describes (an epoch-cadence host round trip, not a per-step
+    one)."""
+    from fateavatar_tpu.models import maintenance
+    from fateavatar_tpu.train.optim import zero_moment_rows
+
+    params = jax.device_get(ts.params)
+    state = jax.device_get(ts.state)
+    opt_state = jax.device_get(ts.opt_state)
+    key = jax.device_get(ts.key)
+
+    key, sub = jax.random.split(jnp.asarray(key))
+    cap = max_points_num or state.alive.shape[0]
+    if int(jnp.sum(state.alive)) + increase_num <= cap:
+        params, state, touched = maintenance.uv_densify(
+            sub, params, state, increase_num=increase_num)
+        opt_state = zero_moment_rows(opt_state, touched,
+                                     maintenance.SPLAT_FIELDS)
+    state = maintenance.prune_low_opacity(params, state, min_opacity)
+
+    return place_mesh2d(
+        TrainState(params=params, state=state, opt_state=opt_state,
+                   step=ts.step, key=key),
+        mesh, data_axis, gauss_axis,
+    )
+
+
 def make_mesh2d_train_step(
     model: FateAvatarModel,
     optimizer: MultiAdam,

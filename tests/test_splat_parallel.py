@@ -121,6 +121,16 @@ def test_mesh2d_train_step():
     ts, aux2 = step(ts, batch)
     assert float(jax.device_get(aux2["loss"])) <= loss * 1.5
 
+    # between-phase maintenance: gather -> densify/prune -> re-place
+    from fateavatar_tpu.parallel.mesh2d import mesh2d_maintenance
+
+    alive0 = int(np.sum(jax.device_get(ts.state.alive)))
+    ts = mesh2d_maintenance(ts, mesh, increase_num=16)
+    alive1 = int(np.sum(jax.device_get(ts.state.alive)))
+    assert alive1 >= alive0
+    ts, aux3 = step(ts, batch)              # training continues on the mesh
+    assert np.isfinite(float(jax.device_get(aux3["loss"])))
+
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8-device mesh")
 def test_mesh2d_loss_matches_single_device():
