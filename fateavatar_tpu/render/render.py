@@ -157,9 +157,11 @@ def _take_packed_sorted_fwd(packed, ids):
 def _take_packed_sorted_bwd(res, g):
     ids, n_rows = res                          # g [C, M]
     perm = jnp.argsort(ids)
-    gpacked = jnp.zeros((n_rows, g.shape[0]), g.dtype).at[ids[perm]].add(
-        g.T[perm], indices_are_sorted=True)
-    return gpacked, None
+    # slim: only rows 0..8 carry parameter gradients (see _take_packed_slim)
+    g9 = jnp.zeros((n_rows, 9), g.dtype).at[ids[perm]].add(
+        g[:9].T[perm], indices_are_sorted=True)
+    return jnp.concatenate(
+        [g9, jnp.zeros((n_rows, g.shape[0] - 9), g.dtype)], axis=1), None
 
 
 _take_packed_sorted.defvjp(_take_packed_sorted_fwd, _take_packed_sorted_bwd)

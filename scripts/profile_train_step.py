@@ -42,6 +42,7 @@ def build_step():
                               max_tiles_per_gaussian=int(os.environ.get("PROF_R", "8")),
                               t_cutoff=float(os.environ.get("PROF_CUTOFF", "0")),
                               bwd_slots=bool(int(os.environ.get("PROF_SLOTS", "0"))),
+                              bwd_sorted_scatter=bool(int(os.environ.get("PROF_SORTED", "0"))),
                               layout=os.environ.get("PROF_LAYOUT", "compact"))
     loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
                                                   dssim_weight=0.25))
