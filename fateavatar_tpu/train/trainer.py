@@ -545,25 +545,44 @@ class Trainer:
         ))
         plt.close(fig)
 
-    def optimize_tracking(self, optim_epoch: int = 50):
+    def optimize_tracking(self, optim_epoch: int = 50, batch: int = 8):
         """Fit test-set tracking rows (train/base.py:198-235): 50 gradient
-        steps per frame on (expression, pose, camera translation)."""
+        steps per frame on (expression, pose, camera translation).
+
+        Rows are independent, so frames run in batches of ``batch`` through
+        the vmapped tracking step — 50 x ceil(F/B) dispatches instead of
+        50 x F, each with B frames of device work."""
         ds = self.test_dataset
         self.logger.log("==> optimizing test tracking...")
-        for i in range(len(ds)):
-            sample = ds.sample(i)
-            cam_pose = np.asarray(sample["cam_pose"], np.float32)
-            const = (
-                jnp.asarray(cam_pose[:3, :3].T),
-                jnp.asarray(sample["fovx"], jnp.float32),
-                jnp.asarray(sample["fovy"], jnp.float32),
-                jnp.asarray(sample["ground_truth"]["rgb"], jnp.float32),
-                self.ts.state, self.ts.params,
-            )
-            idx = jnp.asarray(i, jnp.int32)
+        if getattr(self, "_batched_tracking_step", None) is None:
+            self._batched_tracking_step = self._build_tracking_step(
+                batched=True)
+        F = len(ds)
+        for start in range(0, F, batch):
+            idxs = list(range(start, min(start + batch, F)))
+            mask = [True] * len(idxs)
+            while len(idxs) < batch:      # pad; padded rows are masked out
+                idxs.append(idxs[-1])
+                mask.append(False)
+            samples = [ds.sample(i) for i in idxs]
+            consts = jax.device_put((
+                jnp.asarray(np.stack([
+                    np.asarray(s["cam_pose"], np.float32)[:3, :3].T
+                    for s in samples])),
+                jnp.asarray([s["fovx"] for s in samples], jnp.float32),
+                jnp.asarray([s["fovy"] for s in samples], jnp.float32),
+                jnp.asarray(np.stack([
+                    np.asarray(s["ground_truth"]["rgb"], np.float32)
+                    for s in samples])),
+            ))
+            idx_arr = jnp.asarray(idxs, jnp.int32)
+            mask_arr = jnp.asarray(mask)
+            shared = (self.ts.params, self.ts.state)
             for _ in range(optim_epoch):
-                self.test_tables, self.test_track_state = self._tracking_step(
-                    self.test_tables, self.test_track_state, idx, const
+                (self.test_tables,
+                 self.test_track_state) = self._batched_tracking_step(
+                    self.test_tables, self.test_track_state,
+                    idx_arr, mask_arr, consts, shared,
                 )
 
     # ------------------------------------------------------------------

@@ -113,6 +113,19 @@ class TestTracking:
         # SparseAdam semantics: rows were each visited once
         assert (np.asarray(tr.train_track_state.count) == 1).all()
 
+        # batched test-time tracking fit (pads 2 frames to batch=4 twice)
+        tr.test_dataset.optimize_tracking = True
+        tr.test_tables = __import__(
+            "fateavatar_tpu.train.tracking", fromlist=["tables_from_dataset"]
+        ).tables_from_dataset(tr.test_dataset)
+        tr.test_track_state = tr.track_opt.init(tr.test_tables)
+        t_before = np.asarray(tr.test_tables.expression).copy()
+        tr.optimize_tracking(optim_epoch=3, batch=4)
+        t_after = np.asarray(jax.device_get(tr.test_tables.expression))
+        assert not np.allclose(t_before, t_after)
+        counts = np.asarray(jax.device_get(tr.test_track_state.count))
+        assert (counts == 3).all(), counts
+
 
 class TestParallel:
     def test_dp_step_8_devices(self):
