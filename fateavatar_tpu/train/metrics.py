@@ -34,6 +34,11 @@ class Meter:
         self.V += val
         self.N += n
 
+    def update_value(self, val: float, n: int = 1):
+        """Record an already-computed metric value (the trainer computes
+        the image metrics on device and feeds the fetched scalars here)."""
+        Meter.update(self, val, n)
+
     def measure(self) -> float:
         return self.V / self.N
 

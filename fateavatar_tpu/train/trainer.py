@@ -475,21 +475,52 @@ class Trainer:
             if getattr(m, "available", True)
         }
 
+        # the four image metrics compute ON DEVICE in one jitted call per
+        # frame; scalar results are fetched in a single batched device_get
+        # at the end (per-frame eager metric math + blocking fetches cost
+        # ~6 host round trips per frame through the remote-TPU tunnel)
+        from fateavatar_tpu.train.losses import as_float_rgb, d_ssim
+        from fateavatar_tpu.train.losses import psnr as psnr_fn
+
+        dev_keys = [k for k in ("psnr", "ssim", "l1", "l2") if k in meters]
+        host_meters = {k: m for k, m in meters.items() if k not in dev_keys}
+
+        @jax.jit
+        def dev_metrics(img, gt):
+            gt = as_float_rgb(gt)
+            return {
+                "psnr": psnr_fn(img, gt),
+                "ssim": 1.0 - d_ssim(img, gt),
+                "l1": jnp.mean(jnp.abs(img - gt)),
+                "l2": jnp.mean((img - gt) ** 2),
+            }
+
+        names, pending, host_rows = [], [], []
         for i in range(len(ds)):
             sample = ds.sample(i)
             frame = self._make_frame(sample, tables)
             img = fwd(self.ts.params, self.ts.state, frame.expression,
                       frame.flame_pose, frame.camera)
-            gt = self._rgb_f32(frame.rgb)
-            row = {"frame": sample["img_name"]}
-            for key, meter in meters.items():
-                meter.update(img, gt)
-                row[key] = meter.V_cur
+            names.append(sample["img_name"])
+            pending.append(dev_metrics(img, frame.rgb))
+            hrow = {}
+            if host_meters or save_media:
+                gt = self._rgb_f32(frame.rgb)
+                for k, meter in host_meters.items():
+                    meter.update(np.asarray(img), gt)
+                    hrow[k] = meter.V_cur
+                if save_media:
+                    frames_out.append(np.concatenate(
+                        [np.asarray(img), np.asarray(gt)], axis=1))
+            host_rows.append(hrow)
+
+        for name, vals, hrow in zip(names, jax.device_get(pending),
+                                    host_rows):
+            row = {"frame": name, **hrow}
+            for k in dev_keys:
+                meters[k].update_value(float(vals[k]))
+                row[k] = meters[k].V_cur
             per_frame.append(row)
-            if save_media:
-                frames_out.append(
-                    np.concatenate([np.asarray(img), np.asarray(gt)], axis=1)
-                )
 
         summary = {k: m.measure() for k, m in meters.items()}
         self.logger.log(f"[eval {mode}] " + " ".join(
