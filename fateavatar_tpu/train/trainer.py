@@ -199,7 +199,8 @@ class Trainer:
     # helpers
     # ------------------------------------------------------------------
 
-    def _make_frame(self, sample: dict, tables: Optional[TrackingTables]) -> Frame:
+    def _make_frame(self, sample: dict, tables: Optional[TrackingTables],
+                    cache: bool = True) -> Frame:
         # All-numpy frame construction (make_camera_np): zero eager device
         # ops per frame. On the tunnelled remote-TPU backend eager jnp ops
         # cost ~ms each and capped the Trainer at 13 it/s while the jitted
@@ -230,7 +231,10 @@ class Trainer:
                 intrinsics=sample.get("intrinsics_K"),  # NeRSemble shift
             )
         rgb = np.asarray(sample["ground_truth"]["rgb"], np.float32)
-        if self._frame_cache is not None:
+        # the cache is keyed by TRAIN-dataset frame index; callers feeding
+        # samples from another dataset (test-set evaluation) pass
+        # cache=False or idx 0 would collide with train frame 0
+        if cache and self._frame_cache is not None:
             dev = self._frame_cache.get(idx)
             if dev is None:
                 dev = jax.device_put(
@@ -498,7 +502,8 @@ class Trainer:
         names, pending, host_rows = [], [], []
         for i in range(len(ds)):
             sample = ds.sample(i)
-            frame = self._make_frame(sample, tables)
+            frame = self._make_frame(sample, tables,
+                                     cache=ds is self.train_dataset)
             img = fwd(self.ts.params, self.ts.state, frame.expression,
                       frame.flame_pose, frame.camera)
             names.append(sample["img_name"])
