@@ -76,6 +76,7 @@ def make_train_step(
     maint: MaintenanceConfig = MaintenanceConfig(),
     render_cfg: RenderConfig = RenderConfig(),
     enable_maintenance: bool = True,
+    return_raw: bool = False,
 ):
     """Build the jitted step: (TrainState, Frame) -> (TrainState, aux dict).
 
@@ -169,6 +170,11 @@ def make_train_step(
         )
         return new_ts, aux
 
+    if return_raw:
+        # unjitted body for callers that embed the step in a larger
+        # program (the Trainer's scan-epoch mode runs a whole epoch of
+        # steps in ONE lax.scan dispatch over device-resident frames)
+        return step_fn
     return jax.jit(step_fn, donate_argnums=(0,))
 
 

@@ -11,6 +11,7 @@ syncs on ``loss.item()`` per step, train/trainer.py:191-200).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -292,6 +293,52 @@ class Trainer:
     # training
     # ------------------------------------------------------------------
 
+    def _maybe_scan_epoch(self):
+        """Build (once) the scan-epoch program: with every gt frame
+        device-resident, a full epoch of training steps runs as ONE
+        ``lax.scan`` dispatch — the end point of the static-shape design
+        ("a training run is one compiled program executed N times" becomes
+        one compiled program per epoch). Applies to the built-in FateAvatar
+        path without tracking/DP and with no mid-epoch snapshots; other
+        configurations keep per-step dispatch. Returns the (epoch_fn,
+        stacked_frames) pair or None."""
+        if getattr(self, "_scan_epoch", None) is not None:
+            return self._scan_epoch
+        n = len(self.train_dataset)
+        eligible = (
+            self._frame_cache is not None
+            and len(self._frame_cache) >= n
+            and not self.tracking_enabled
+            and self.adapter is None
+            and self.dp_mesh is None
+            and self.snapshot_interval > n
+        )
+        if not eligible:
+            return None
+        frames = [
+            self._make_frame(self.train_dataset.sample(i), None)
+            for i in range(n)
+        ]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+        raw_step = make_train_step(
+            self.model, self.loss_fn, self.optimizer, self.maint_cfg,
+            self.render_cfg, return_raw=True,
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def epoch_fn(ts, fr):
+            def body(ts, f):
+                ts, aux = raw_step(ts, f)
+                return ts, {"loss": aux["loss"], "psnr": aux["psnr"],
+                            "overflow": aux["overflow"]}
+            return jax.lax.scan(body, ts, fr)
+
+        self._scan_epoch = (epoch_fn, stacked)
+        self.logger.log(
+            f"[scan] epoch compiled as one lax.scan over {n} "
+            "device-resident frames")
+        return self._scan_epoch
+
     def train(self, max_epochs: int):
         for _ in range(self.epoch + 1, max_epochs + 1):
             self.epoch += 1
@@ -303,6 +350,9 @@ class Trainer:
     def train_epoch(self):
         if self.dp_mesh is not None:
             return self._train_epoch_dp()
+        scan = self._maybe_scan_epoch()
+        if scan is not None:
+            return self._train_epoch_scan(*scan)
         ds = self.train_dataset
         order = np.arange(len(ds))
         meters = {"loss": metrics_mod.LossMeter(), "psnr": metrics_mod.Meter("PSNR")}
@@ -363,6 +413,28 @@ class Trainer:
             f"[epoch {self.epoch}] {n} frames in {dt:.1f}s "
             f"({n / max(dt, 1e-9):.2f} it/s) | loss={meters['loss'].measure():.5f} "
             f"PSNR={meters['psnr'].measure():.2f}"
+            + (f" alive={int(jnp.sum(self.ts.state.alive))}"
+               if hasattr(self.ts.state, "alive") else "")
+        )
+
+    def _train_epoch_scan(self, epoch_fn, stacked_frames):
+        ds = self.train_dataset
+        n = len(ds)
+        t0 = time.perf_counter()
+        self.ts, aux = epoch_fn(self.ts, stacked_frames)
+        aux = jax.device_get(aux)          # [n] per-step scalars, one fetch
+        self.global_step += n
+        dt = time.perf_counter() - t0
+        overflow = int(np.sum(aux["overflow"]))
+        if overflow > 0:
+            self.logger.file_only(
+                f"[WARN] {overflow} tile instances dropped "
+                "(raise max_per_tile)")
+        self.logger.log(
+            f"[epoch {self.epoch}] {n} frames in {dt:.1f}s "
+            f"({n / max(dt, 1e-9):.2f} it/s, scan) "
+            f"| loss={float(np.mean(aux['loss'])):.5f} "
+            f"PSNR={float(np.mean(aux['psnr'])):.2f}"
             + (f" alive={int(jnp.sum(self.ts.state.alive))}"
                if hasattr(self.ts.state, "alive") else "")
         )
