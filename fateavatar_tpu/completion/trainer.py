@@ -121,7 +121,11 @@ class CompletionTrainer(Trainer):
 
                 p = pd.sample(int(rng.integers(len(pd))))
                 bg = jnp.asarray(rng.random(3), jnp.float32)
-                pframe = self._make_frame(p, None).replace(bg_color=bg)
+                # cache=False: the device frame cache is keyed by TRAIN
+                # frame index — caching a pseudo frame under its own idx
+                # would poison the real frames' cache entries
+                pframe = self._make_frame(
+                    p, None, cache=False).replace(bg_color=bg)
                 # composite the pseudo gt onto the same random bg
                 mask_path = pd.records[p["idx"]].mask_path
                 gt = np.asarray(p["ground_truth"]["rgb"])
