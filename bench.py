@@ -115,7 +115,11 @@ def main(budget_mult: int = 2, max_tiles: int = 4):
             return main(budget_mult=0, max_tiles=16)
         its = cur if its is None else max(its, cur)
     if its is None:
-        its = n / dt
+        # every window hit the tunnel-drop condition; report 0 rather than
+        # a physically impossible number
+        print("[warn] no plausible timing window; reporting 0",
+              file=sys.stderr)
+        its = 0.0
 
     # secondary metric (stderr): forward-only render FPS (BASELINE config 1/2)
     import jax as _jax

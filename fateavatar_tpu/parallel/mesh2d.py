@@ -17,9 +17,10 @@ training step over a ``Mesh(("data", "gauss"))``:
   delta gradients already all-reduced.
 
 This is the >1M-splat training configuration: no device ever materializes
-the full splat state. Densification is intentionally not run in this mode
-(the categorical source sampling is a global operation; run maintenance on
-a replicated checkpoint between phases, as coarse-to-fine schedules do).
+the full splat state. The step accumulates real densification statistics
+(screen-space probe gradients through the sharded render, DP semantics);
+the categorical source sampling itself is a global operation, so
+densify/prune run between phases via :func:`mesh2d_maintenance`.
 The loss is the rgb L1 + scale-anisotropy subset — the terms that remain
 meaningful when no device sees the whole image (DSSIM/VGG windows would
 straddle tile-row shard boundaries).
@@ -158,13 +159,17 @@ def make_mesh2d_train_step(
     H, W = model.cfg.img_height, model.cfg.img_width
     grid = binning.tile_grid(W, H)
     ty, tx = grid
+    assert H % binning.TILE == 0, (
+        f"mesh2d needs the image height ({H}) tile-aligned "
+        f"({binning.TILE}) so gt rows slice exactly per device")
     assert ty % Dg == 0, f"tile rows {ty} must divide over gauss={Dg}"
     rows_per_dev = ty // Dg
     row_px = rows_per_dev * binning.TILE
     pspec, sspec = fateavatar_mesh2d_specs(data_axis, gauss_axis)
 
-    def local_loss(params, state, frames: Frame):
-        # this cell's frame (leading local batch of 1) and splat shard
+    def local_loss(params, probe, state, frames: Frame):
+        # this cell's frame (leading local batch of 1), probe row and
+        # splat shard
         f = jax.tree.map(lambda x: x[0], frames)
         n_local = params.scaling.shape[0]
         n_total = n_local * Dg
@@ -172,10 +177,11 @@ def make_mesh2d_train_step(
         gaussians, _, _ = build_gaussians(
             model, params, state, f.expression, f.flame_pose
         )
-        img_tiles, dropped = render_shard_body(
+        img_tiles, dropped, visible = render_shard_body(
             f.camera, gaussians, f.bg_color, axis=gauss_axis, n_devices=Dg,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             pair_budget=pair_budget, max_per_tile=max_per_tile, chunk=chunk,
+            mean2d_probe=probe[0],
         )
         local_img = tiles_to_image(
             img_tiles, (rows_per_dev, tx), W, row_px
@@ -197,24 +203,42 @@ def make_mesh2d_train_step(
         local = rgb_weight * pix + scale_weight * reg
         total = jax.lax.psum(local, (data_axis, gauss_axis))
         overflow = jax.lax.psum(jnp.sum(dropped), (data_axis, gauss_axis))
-        return total, overflow
+        vis_count = jax.lax.psum(visible.astype(jnp.float32), data_axis)
+        return total, (overflow, vis_count)
 
     sharded_loss = shard_map(
         local_loss, mesh=mesh,
-        in_specs=(pspec, sspec, P(data_axis)),
-        out_specs=(P(), P()),
+        in_specs=(pspec, P(data_axis, None, gauss_axis), sspec,
+                  P(data_axis)),
+        out_specs=(P(), (P(), P(gauss_axis))),
         check_vma=False,
     )
 
-    grad_fn = jax.value_and_grad(
-        lambda p, s, fr: sharded_loss(p, s, fr), has_aux=True
-    )
+    grad_fn = jax.value_and_grad(sharded_loss, argnums=(0, 1), has_aux=True)
 
     def step_fn(ts: TrainState, frames: Frame):
-        (loss, overflow), grads = grad_fn(ts.params, ts.state, frames)
+        n = ts.params.scaling.shape[0]
+        # per-frame screen-space probe [Bd, 2, N]: its gradient feeds the
+        # densification statistics exactly like the DP step (per-frame
+        # gradient norms, summed over the batch)
+        probe = jnp.zeros((Bd, 2, n), jnp.float32)
+        ((loss, (overflow, vis_count)),
+         (grads, probe_grad)) = grad_fn(ts.params, probe, ts.state, frames)
+
+        gnorm = jnp.sqrt(probe_grad[:, 0] ** 2
+                         + probe_grad[:, 1] ** 2)          # [Bd, N]
+        vis = vis_count > 0
+        state = ts.state
+        state = state.replace(
+            xyz_gradient_accum=state.xyz_gradient_accum
+            + jnp.where(vis & state.alive, jnp.sum(gnorm, axis=0), 0.0),
+            denom=state.denom
+            + jnp.where(state.alive, vis_count, 0.0),
+        )
+
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         params = apply_updates(ts.params, updates)
-        new_ts = TrainState(params=params, state=ts.state,
+        new_ts = TrainState(params=params, state=state,
                             opt_state=opt_state, step=ts.step + 1, key=ts.key)
         return new_ts, {"loss": loss, "overflow": overflow}
 

@@ -68,11 +68,12 @@ def render_splat_sharded(
     M_pair = pair_budget or (4 * n_local * R // (D * 2))
 
     def shard_fn(g: Gaussians, bg):
-        return render_shard_body(
+        img_tiles, dropped, _ = render_shard_body(
             camera, g, bg, axis=axis, n_devices=D,
             max_tiles_per_gaussian=R, pair_budget=M_pair,
             max_per_tile=max_per_tile, chunk=chunk,
         )
+        return img_tiles, dropped
 
     from jax import shard_map
 
@@ -98,6 +99,7 @@ def render_shard_body(
     pair_budget: int = 0,
     max_per_tile: int = 1024,
     chunk: int = 64,
+    mean2d_probe=None,
 ):
     """The per-device render pipeline — runs INSIDE a ``shard_map`` whose
     mesh binds ``axis``. ``g`` is this device's splat shard. Returns the
@@ -124,6 +126,10 @@ def render_shard_body(
 
     # candidate expansion (local shard)
     mean2d = prep.mean2d
+    if mean2d_probe is not None:
+        # zero-valued probe whose gradient is d(loss)/d(mean2d) — the
+        # densification statistic (train/step.py uses the same trick)
+        mean2d = mean2d + mean2d_probe.T
     rminx, rminy, rmaxx, rmaxy = binning.gaussian_rect(
         jax.lax.stop_gradient(mean2d), prep.radius, grid
     )
@@ -222,4 +228,4 @@ def render_shard_body(
         mean2d_shifted, conic_t, color_t, opacity_t, valid_lists, bg,
         sub_grid, chunk=chunk,
     )
-    return img_tiles, jnp.sum(dropped)[None]
+    return img_tiles, jnp.sum(dropped)[None], prep.visible

@@ -125,7 +125,12 @@ def make_gaussianavatars_step(
         # half-units there: ddelx_dx = 0.5 W, backward.cu:399+)
         w = frame.camera.width
         if batched:
-            gnorm = jnp.linalg.norm(probe_grad, axis=1) * (2.0 / w)  # [B, N]
+            # the batched loss is the MEAN over B frames, so each frame's
+            # probe gradient is 1/B of its single-frame value; rescale so
+            # the accumulated stats stay comparable with the absolute
+            # densify_grad_threshold (tuned for per-frame grads)
+            B = frame.rgb.shape[0]
+            gnorm = jnp.linalg.norm(probe_grad, axis=1) * (2.0 / w) * B
             vis = out["visibility_filter"] & state.alive[None, :]
             state = state.replace(
                 xyz_gradient_accum=state.xyz_gradient_accum

@@ -293,6 +293,27 @@ class Trainer:
     # training
     # ------------------------------------------------------------------
 
+
+    def _dev_metrics_fn(self):
+        """Jitted 4-metric graph, built once per Trainer (a fresh jit
+        closure per evaluate() call would recompile every evaluation)."""
+        if getattr(self, "_dev_metrics", None) is None:
+            from fateavatar_tpu.train.losses import as_float_rgb, d_ssim
+            from fateavatar_tpu.train.losses import psnr as psnr_fn
+
+            @jax.jit
+            def dev_metrics(img, gt):
+                gt = as_float_rgb(gt)
+                return {
+                    "psnr": psnr_fn(img, gt),
+                    "ssim": 1.0 - d_ssim(img, gt),
+                    "l1": jnp.mean(jnp.abs(img - gt)),
+                    "l2": jnp.mean((img - gt) ** 2),
+                }
+
+            self._dev_metrics = dev_metrics
+        return self._dev_metrics
+
     def _maybe_scan_epoch(self):
         """Build (once) the scan-epoch program: with every gt frame
         device-resident, a full epoch of training steps runs as ONE
@@ -311,7 +332,6 @@ class Trainer:
             and not self.tracking_enabled
             and self.adapter is None
             and self.dp_mesh is None
-            and self.snapshot_interval > n
         )
         if not eligible:
             return None
@@ -320,6 +340,10 @@ class Trainer:
             for i in range(n)
         ]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+        # the stacked copy supersedes the per-frame cache rows — clear them
+        # so scan mode holds ONE copy of the dataset in HBM (evaluate on
+        # the train set / snapshots lazily re-upload the frames they touch)
+        self._frame_cache.clear()
         raw_step = make_train_step(
             self.model, self.loss_fn, self.optimizer, self.maint_cfg,
             self.render_cfg, return_raw=True,
@@ -421,9 +445,16 @@ class Trainer:
         ds = self.train_dataset
         n = len(ds)
         t0 = time.perf_counter()
+        step_before = self.global_step
         self.ts, aux = epoch_fn(self.ts, stacked_frames)
         aux = jax.device_get(aux)          # [n] per-step scalars, one fetch
         self.global_step += n
+        # snapshot cadence at epoch granularity (per-step semantics would
+        # fire mid-epoch; scan mode saves one after the crossing epoch)
+        if (self.workspace is not None
+                and step_before // self.snapshot_interval
+                != self.global_step // self.snapshot_interval):
+            self.save_snapshot(ds.sample(n - 1))
         dt = time.perf_counter() - t0
         overflow = int(np.sum(aux["overflow"]))
         if overflow > 0:
@@ -555,21 +586,9 @@ class Trainer:
         # frame; scalar results are fetched in a single batched device_get
         # at the end (per-frame eager metric math + blocking fetches cost
         # ~6 host round trips per frame through the remote-TPU tunnel)
-        from fateavatar_tpu.train.losses import as_float_rgb, d_ssim
-        from fateavatar_tpu.train.losses import psnr as psnr_fn
-
         dev_keys = [k for k in ("psnr", "ssim", "l1", "l2") if k in meters]
         host_meters = {k: m for k, m in meters.items() if k not in dev_keys}
-
-        @jax.jit
-        def dev_metrics(img, gt):
-            gt = as_float_rgb(gt)
-            return {
-                "psnr": psnr_fn(img, gt),
-                "ssim": 1.0 - d_ssim(img, gt),
-                "l1": jnp.mean(jnp.abs(img - gt)),
-                "l2": jnp.mean((img - gt) ** 2),
-            }
+        dev_metrics = self._dev_metrics_fn()
 
         names, pending, host_rows = [], [], []
         for i in range(len(ds)):

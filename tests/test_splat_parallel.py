@@ -117,6 +117,10 @@ def test_mesh2d_train_step():
     assert np.isfinite(loss)
     after = np.asarray(jax.device_get(ts.params.scaling))
     assert not np.allclose(before, after)       # gradients reached the shards
+    # densification statistics accumulate through the sharded render
+    accum = np.asarray(jax.device_get(ts.state.xyz_gradient_accum))
+    denom = np.asarray(jax.device_get(ts.state.denom))
+    assert accum.max() > 0 and denom.max() > 0
     # second step reuses the compiled program
     ts, aux2 = step(ts, batch)
     assert float(jax.device_get(aux2["loss"])) <= loss * 1.5
