@@ -47,6 +47,19 @@ def _init_ts(params, state, optimizer, seed=0):
     )
 
 
+
+def _jit_with_raw(step_fn):
+    """Jit the step and keep the unjitted body reachable (``.raw``) so the
+    Trainer's scan-epoch mode can embed it in a per-epoch lax.scan."""
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+
+    def step(ts, frame):
+        return jitted(ts, frame)
+
+    step.raw = step_fn
+    return step
+
+
 # ---------------------------------------------------------------------------
 # GaussianAvatars (train/iteration.py:128-199)
 # ---------------------------------------------------------------------------
@@ -210,7 +223,7 @@ def make_gaussianavatars_step(
         aux["overflow"] = jnp.sum(out["overflow"])
         return new_ts, aux
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return _jit_with_raw(step_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +276,7 @@ def make_flashavatar_step(model, net, loss_fn, optimizer: MultiAdam,
         )
         return new_ts, dict(losses)
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return _jit_with_raw(step_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -328,7 +341,7 @@ def make_splattingavatar_step(model, loss_fn, optimizer: MultiAdam,
                                     opt_state=opt_state, step=step, key=ts.key)
         return new_ts, dict(losses)
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return _jit_with_raw(step_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -376,7 +389,7 @@ def make_monogaussianavatar_step(model, nets, loss_fn, optimizer: MultiAdam,
                                     key=ts.key)
         return new_ts, dict(losses)
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return _jit_with_raw(step_fn)
 
 
 def mono_epoch_maintenance(ts: BaselineTrainState, model, epoch: int,

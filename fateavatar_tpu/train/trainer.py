@@ -330,8 +330,9 @@ class Trainer:
             self._frame_cache is not None
             and len(self._frame_cache) >= n
             and not self.tracking_enabled
-            and self.adapter is None
             and self.dp_mesh is None
+            and (self.adapter is None
+                 or hasattr(self.train_step, "raw"))
         )
         if not eligible:
             return None
@@ -344,17 +345,23 @@ class Trainer:
         # so scan mode holds ONE copy of the dataset in HBM (evaluate on
         # the train set / snapshots lazily re-upload the frames they touch)
         self._frame_cache.clear()
-        raw_step = make_train_step(
-            self.model, self.loss_fn, self.optimizer, self.maint_cfg,
-            self.render_cfg, return_raw=True,
-        )
+        if self.adapter is None:
+            raw_step = make_train_step(
+                self.model, self.loss_fn, self.optimizer, self.maint_cfg,
+                self.render_cfg, return_raw=True,
+            )
+        else:
+            raw_step = self.train_step.raw
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def epoch_fn(ts, fr):
             def body(ts, f):
                 ts, aux = raw_step(ts, f)
-                return ts, {"loss": aux["loss"], "psnr": aux["psnr"],
-                            "overflow": aux["overflow"]}
+                zero = jnp.zeros((), jnp.float32)
+                return ts, {"loss": aux["loss"],
+                            "psnr": aux.get("psnr", zero),
+                            "overflow": aux.get("overflow",
+                                                jnp.zeros((), jnp.int32))}
             return jax.lax.scan(body, ts, fr)
 
         self._scan_epoch = (epoch_fn, stacked)

@@ -388,3 +388,51 @@ class TestTrainerDP:
         tr.epoch = 1
         tr.train_epoch()
         assert tr.global_step == 16
+
+
+class TestScanEpoch:
+    def test_fateavatar_scan_matches_per_step(self, tmp_path):
+        """Epoch 2+ runs as one lax.scan; the state after two epochs equals
+        running the per-step path (same step body, same frame order)."""
+        tr_scan = build_trainer()
+        tr_ref = build_trainer(device_frame_cache="off")
+        tr_scan.train_dataset = tr_ref.train_dataset  # identical frames
+        for tr in (tr_scan, tr_ref):
+            tr.epoch = 1
+            tr.train_epoch()
+            tr.epoch = 2
+            tr.train_epoch()
+        assert tr_scan._scan_epoch is not None
+        assert getattr(tr_ref, "_scan_epoch", None) is None
+        a = np.asarray(jax.device_get(tr_scan.ts.params.scaling))
+        b = np.asarray(jax.device_get(tr_ref.ts.params.scaling))
+        # scan path trains on uint8-quantized gt; allow that quantization
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+    def test_adapter_scan_epoch(self):
+        from fateavatar_tpu.render.render import RenderConfig
+        from fateavatar_tpu.train import registry
+        from fateavatar_tpu.train.adapters import make_family_adapter
+        from fateavatar_tpu.train.baseline_steps import flashavatar_optimizer
+        from fateavatar_tpu.train.losses import (
+            FlashAvatarLoss, FlashAvatarLossConfig,
+        )
+        from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+
+        flame = synthetic_flame(n_verts=96, n_shape=6, n_exp=4, seed=0)
+        mesh = sphere_obj_mesh(96)
+        entry = registry.get("flashavatar")
+        bundle = entry.build_model(
+            mesh, flame, dict(tex_size=8, img_height=RES, img_width=RES))
+        loss_fn = FlashAvatarLoss(FlashAvatarLossConfig(lpips_weight=0.0))
+        opt = flashavatar_optimizer({})
+        adapter = make_family_adapter(
+            "flashavatar", bundle, loss_fn, opt, RENDER_CFG, {})
+        ds = SyntheticDataset(num_frames=4, img_res=(RES, RES), n_exp=4)
+        tr = Trainer(name="t", model=bundle[0], params=bundle[1], state=None,
+                     loss_fn=loss_fn, optimizer=opt, train_dataset=ds,
+                     workspace=None, render_cfg=RENDER_CFG, adapter=adapter,
+                     snapshot_interval=10**9)
+        tr.train(2)
+        assert tr._scan_epoch is not None
+        assert tr.global_step == 8
