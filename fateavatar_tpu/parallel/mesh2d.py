@@ -132,6 +132,93 @@ def mesh2d_maintenance(
     )
 
 
+def _sharded_densify(
+    key: jax.Array,
+    params: FateAvatarParams,
+    state: FateAvatarState,
+    *,
+    gauss_axis: str,
+    n_devices: int,
+    increase_num: int,
+):
+    """uv_densify INSIDE a shard_map over the splat axis — runs on the
+    gauss-sharded leaves without gathering the full state anywhere:
+
+    * global sampling probabilities come from ONE all_gather of the [N]
+      gradient-accum vector (a few hundred KB),
+    * every shard draws the SAME global source ids (same key), then the
+      selected source ROWS (increase_num of them, not N) are fetched
+      cross-shard with a masked-gather + psum,
+    * each shard fills its own dead slots with a static 1/Dg quota of the
+      new splats (writes beyond a shard's dead count are dropped and
+      reported via ``touched`` like the single-chip op).
+
+    Mirrors models/maintenance.uv_densify semantics (scale x0.75, fresh
+    barycentric in the source face, stats reset)."""
+    Dg = n_devices
+    assert increase_num % Dg == 0
+    quota = increase_num // Dg
+    dev = jax.lax.axis_index(gauss_axis)
+    n_local = state.alive.shape[0]
+
+    k_src, k_bary = jax.random.split(key)
+    probs_l = jnp.where(state.alive, state.xyz_gradient_accum, 0.0)
+    probs_g = jax.lax.all_gather(probs_l, gauss_axis, tiled=True)   # [N]
+    alive_g = jax.lax.all_gather(
+        state.alive.astype(jnp.float32), gauss_axis, tiled=True)
+    probs_g = jnp.where(jnp.sum(probs_g) > 0, probs_g, alive_g)
+    logits = jnp.log(jnp.maximum(probs_g, 1e-30))
+    src = jax.random.categorical(k_src, logits, shape=(increase_num,))
+
+    local_idx = (src - dev * n_local).astype(jnp.int32)
+    own = (local_idx >= 0) & (local_idx < n_local)
+    safe = jnp.clip(local_idx, 0, n_local - 1)
+
+    def fetch(arr):
+        rows = arr[safe].astype(jnp.float32)
+        mask = own.reshape((-1,) + (1,) * (rows.ndim - 1))
+        return jax.lax.psum(jnp.where(mask, rows, 0.0), gauss_axis)
+
+    uvw = jax.random.uniform(k_bary, (increase_num, 3))
+    new_bary = uvw / jnp.sum(uvw, axis=-1, keepdims=True)
+
+    def my_chunk(rows):
+        return jax.lax.dynamic_slice_in_dim(rows, dev * quota, quota, 0)
+
+    from fateavatar_tpu.models.maintenance import _free_slots
+
+    slots, valid = _free_slots(state.alive, quota)
+
+    def write(dst, rows):
+        rows = my_chunk(rows).astype(dst.dtype)
+        return dst.at[slots].set(rows, mode="drop")
+
+    new_params = params.replace(
+        offset=write(params.offset, fetch(params.offset)),
+        features_dc=write(params.features_dc, fetch(params.features_dc)),
+        features_rest=write(params.features_rest,
+                            fetch(params.features_rest)),
+        scaling=write(params.scaling,
+                      fetch(params.scaling) + jnp.log(0.75)),
+        rotation=write(params.rotation, fetch(params.rotation)),
+        opacity=write(params.opacity, fetch(params.opacity)),
+    )
+    new_state = state.replace(
+        face_index=state.face_index.at[slots].set(
+            my_chunk(fetch(state.face_index)).astype(jnp.int32),
+            mode="drop"),
+        bary_coords=write(state.bary_coords, new_bary),
+        alive=state.alive.at[slots].set(valid, mode="drop"),
+        sample_flag=write(state.sample_flag,
+                          jnp.ones((increase_num,), jnp.float32)),
+        xyz_gradient_accum=jnp.zeros_like(state.xyz_gradient_accum),
+        denom=jnp.zeros_like(state.denom),
+        max_radii2d=jnp.zeros_like(state.max_radii2d),
+    )
+    touched = jnp.zeros((n_local,), bool).at[slots].set(valid, mode="drop")
+    return new_params, new_state, touched
+
+
 def make_mesh2d_train_step(
     model: FateAvatarModel,
     optimizer: MultiAdam,
@@ -146,6 +233,11 @@ def make_mesh2d_train_step(
     pair_budget: int = 0,
     max_per_tile: int = 1024,
     chunk: int = 32,
+    densify_interval: int = 0,       # 0 disables in-jit densification
+    prune_interval: int = 0,
+    increase_num: int = 1024,
+    min_opacity: float = 0.005,
+    max_points_num: int = 0,
 ):
     """Build the jitted 2-D-mesh training step:
     ``(TrainState, Frame[Bd]) -> (TrainState, aux)``.
@@ -238,8 +330,49 @@ def make_mesh2d_train_step(
 
         updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
         params = apply_updates(ts.params, updates)
+        step = ts.step + 1
+        key = ts.key
+
+        if densify_interval:
+            # in-jit sharded densification. The branch predicate is
+            # replicated, but collectives inside lax.cond are fragile on
+            # SPMD backends — the (cheap: K rows, one [N] all_gather)
+            # densify math runs every step and a masked select applies it.
+            from fateavatar_tpu.models.maintenance import SPLAT_FIELDS
+            from fateavatar_tpu.train.optim import zero_moment_rows
+            import functools as _ft
+
+            densify_sm = shard_map(
+                _ft.partial(_sharded_densify, gauss_axis=gauss_axis,
+                            n_devices=Dg, increase_num=increase_num),
+                mesh=mesh,
+                in_specs=(P(), pspec, sspec),
+                out_specs=(pspec, sspec, P(gauss_axis)),
+                check_vma=False,
+            )
+            cap = max_points_num or n
+            num_alive = jnp.sum(state.alive)
+            do_densify = (
+                (step % densify_interval == 0)
+                & (num_alive + increase_num <= cap)
+            )
+            key, sub = jax.random.split(key)
+            d_params, d_state, touched = densify_sm(sub, params, state)
+            params = jax.tree.map(
+                lambda a, b: jnp.where(do_densify, a, b), d_params, params)
+            state = jax.tree.map(
+                lambda a, b: jnp.where(do_densify, a, b), d_state, state)
+            opt_state = zero_moment_rows(
+                opt_state, touched & do_densify, SPLAT_FIELDS)
+
+        if prune_interval:
+            keep = jax.nn.sigmoid(params.opacity[:, 0]) >= min_opacity
+            state = state.replace(alive=jnp.where(
+                step % prune_interval == 0, state.alive & keep, state.alive))
+
         new_ts = TrainState(params=params, state=state,
-                            opt_state=opt_state, step=ts.step + 1, key=ts.key)
-        return new_ts, {"loss": loss, "overflow": overflow}
+                            opt_state=opt_state, step=step, key=key)
+        return new_ts, {"loss": loss, "overflow": overflow,
+                        "num_alive": jnp.sum(state.alive)}
 
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -135,6 +135,20 @@ def test_mesh2d_train_step():
     ts, aux3 = step(ts, batch)              # training continues on the mesh
     assert np.isfinite(float(jax.device_get(aux3["loss"])))
 
+    # in-jit sharded densification: alive grows inside the jitted step
+    step_d = make_mesh2d_train_step(model, opt, mesh, max_per_tile=64,
+                                    chunk=32, densify_interval=2,
+                                    prune_interval=3, increase_num=16)
+    ts_d = place_mesh2d(init_train_state(params, state, opt), mesh)
+    a0 = int(np.sum(jax.device_get(ts_d.state.alive)))
+    ts_d, _ = step_d(ts_d, batch)           # step 1: no densify
+    a1 = int(np.sum(jax.device_get(ts_d.state.alive)))
+    assert a1 == a0
+    ts_d, aux_d = step_d(ts_d, batch)       # step 2: densify fires
+    a2 = int(np.sum(jax.device_get(ts_d.state.alive)))
+    assert a2 > a1, (a1, a2)
+    assert np.isfinite(float(jax.device_get(aux_d["loss"])))
+
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8-device mesh")
 def test_mesh2d_loss_matches_single_device():
