@@ -21,9 +21,10 @@ the full splat state. The step accumulates real densification statistics
 (screen-space probe gradients through the sharded render, DP semantics);
 the categorical source sampling itself is a global operation, so
 densify/prune run between phases via :func:`mesh2d_maintenance`.
-The loss is the rgb L1 + scale-anisotropy subset — the terms that remain
-meaningful when no device sees the whole image (DSSIM/VGG windows would
-straddle tile-row shard boundaries).
+The loss covers the full reference set: rgb L1 and scale-anisotropy
+partition over the mesh; the windowed terms (DSSIM, VGG16) compute on the
+all-gathered image (3 MB over ICI — AD turns the gather into a
+reduce-scatter of pixel cotangents).
 """
 
 from __future__ import annotations
@@ -227,6 +228,9 @@ def make_mesh2d_train_step(
     data_axis: str = "data",
     gauss_axis: str = "gauss",
     rgb_weight: float = 1.0,
+    dssim_weight: float = 0.0,
+    vgg_weight: float = 0.0,
+    vgg_params=None,
     scale_weight: float = 0.1,
     scale_threshold: float = 9.0,
     max_tiles_per_gaussian: int = 16,
@@ -285,6 +289,30 @@ def make_mesh2d_train_step(
         # shares are scaled so the FULL-mesh psum is the true batch loss:
         # pixel rows partition over gauss, frames partition over data
         pix = jnp.sum(jnp.abs(local_img - gt_rows)) / (H * W * 3 * Bd)
+
+        window_terms = 0.0
+        if dssim_weight > 0 or (vgg_weight > 0 and vgg_params is not None):
+            # windowed terms (DSSIM 11x11, VGG receptive fields) straddle
+            # tile-row shard boundaries, so compute them on the
+            # ALL-GATHERED image — 3 MB over ICI per frame; AD transposes
+            # the gather into a reduce-scatter of the pixel cotangents.
+            # Every gauss cell computes the same value for its frame, so
+            # the share divides by Dg (and Bd as usual).
+            from fateavatar_tpu.train.losses import (
+                d_ssim, vgg_perceptual_loss,
+            )
+
+            tiles_full = jax.lax.all_gather(
+                img_tiles, gauss_axis, tiled=True)      # [T, 3, P]
+            img_full = tiles_to_image(tiles_full, grid, W, H)
+            gt_full = as_float_rgb(f.rgb)
+            if dssim_weight > 0:
+                window_terms = window_terms + dssim_weight * d_ssim(
+                    img_full, gt_full) / (Bd * Dg)
+            if vgg_weight > 0 and vgg_params is not None:
+                window_terms = window_terms + vgg_weight * (
+                    vgg_perceptual_loss(vgg_params, img_full, gt_full)
+                    / (Bd * Dg))
         s = jnp.exp(params.scaling)
         ratio = jnp.max(s, axis=-1) / jnp.maximum(jnp.min(s, axis=-1), 1e-12)
         reg = jnp.sum(
@@ -292,7 +320,7 @@ def make_mesh2d_train_step(
                       0.0)
         ) / (n_total * Bd)                  # /Bd: replicated over data rows
 
-        local = rgb_weight * pix + scale_weight * reg
+        local = rgb_weight * pix + scale_weight * reg + window_terms
         total = jax.lax.psum(local, (data_axis, gauss_axis))
         overflow = jax.lax.psum(jnp.sum(dropped), (data_axis, gauss_axis))
         vis_count = jax.lax.psum(visible.astype(jnp.float32), data_axis)

@@ -208,3 +208,23 @@ def test_mesh2d_loss_matches_single_device():
         ref += float(jnp.mean(jnp.abs(out["render"] - f.rgb))) / 2
     got = float(jax.device_get(aux["loss"]))
     np.testing.assert_allclose(got, ref, rtol=2e-4)
+
+    # windowed terms on the all-gathered image: L1 + DSSIM matches the
+    # single-device composite loss
+    from fateavatar_tpu.train.losses import d_ssim
+
+    step2 = make_mesh2d_train_step(model, opt, mesh, max_per_tile=128,
+                                   chunk=32, pair_budget=2048,
+                                   rgb_weight=1.0, dssim_weight=0.25,
+                                   scale_weight=0.0)
+    ts2 = place_mesh2d(init_train_state(params, state, opt), mesh)
+    _, aux2 = step2(ts2, batch)
+    ref2 = 0.0
+    for f in frames:
+        g, _, _ = build_gaussians(model, params, state,
+                                  f.expression, f.flame_pose)
+        out = render(f.camera, g, f.bg_color, config=rcfg)
+        ref2 += (float(jnp.mean(jnp.abs(out["render"] - f.rgb)))
+                 + 0.25 * float(d_ssim(out["render"], f.rgb))) / 2
+    got2 = float(jax.device_get(aux2["loss"]))
+    np.testing.assert_allclose(got2, ref2, rtol=2e-4)
