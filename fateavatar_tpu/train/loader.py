@@ -85,20 +85,31 @@ class Reenactor(Loader):
         fps: int = 25,
     ):
         n_exp = self.model.flame.n_exp
-        fwd = jax.jit(lambda e, p: fateavatar_forward(
+        # render returns uint8 (4x smaller device->host fetch — on a slow
+        # link the download, not the render, bounds video throughput) and
+        # dispatches stay ahead of batched fetches
+        fwd = jax.jit(lambda e, p: jnp.clip(jnp.round(fateavatar_forward(
             self.model, self.params, self.state, e, p, camera,
             render_cfg=self.render_cfg,
-        )["rgb_image"])
+        )["rgb_image"] * 255.0), 0, 255).astype(jnp.uint8))
 
-        frames = []
+        frames: list = []
+        pending: list = []
+
+        def drain():
+            frames.extend(np.asarray(a) for a in jax.device_get(pending))
+            pending.clear()
+
         for expr, pose in zip(src_expressions, src_poses):
             e = np.zeros(n_exp, np.float32)
             m = min(n_exp, len(expr))
             e[:m] = expr[:m]
             if delta_exp is not None:
                 e[: len(delta_exp)] -= np.asarray(delta_exp, np.float32)[: len(e)]
-            img = fwd(jnp.asarray(e), jnp.asarray(pose, jnp.float32))
-            frames.append(np.asarray(img))
+            pending.append(fwd(e, np.asarray(pose, np.float32)))
+            if len(pending) >= 8:
+                drain()
+        drain()
         if out_path is not None:
             write_video(out_path, frames, fps=fps)
         return frames

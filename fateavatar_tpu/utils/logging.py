@@ -41,7 +41,9 @@ def save_image(path: str, img) -> None:
     import numpy as np
     from PIL import Image
 
-    arr = (np.clip(np.asarray(img), 0, 1) * 255).astype("uint8")
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0, 1) * 255).astype("uint8")
     Image.fromarray(arr).save(path)
 
 
@@ -69,9 +71,13 @@ def write_video(path: str, frames, fps: int = 25) -> bool:
     import subprocess
     import numpy as np
 
-    frames = [
-        (np.clip(np.asarray(f), 0, 1) * 255).astype("uint8") for f in frames
-    ]
+    def _u8(f):
+        f = np.asarray(f)
+        if f.dtype == np.uint8:
+            return f
+        return (np.clip(f, 0, 1) * 255).astype("uint8")
+
+    frames = [_u8(f) for f in frames]
     if shutil.which("ffmpeg") and path.endswith(".mp4"):
         h, w = frames[0].shape[:2]
         proc = subprocess.Popen(
