@@ -613,8 +613,13 @@ class Trainer:
                     meter.update(np.asarray(img), gt)
                     hrow[k] = meter.V_cur
                 if save_media:
-                    frames_out.append(np.concatenate(
-                        [np.asarray(img), np.asarray(gt)], axis=1))
+                    # fetch the prediction as uint8 (4x smaller download —
+                    # the fetch, not the render, bounds eval-video speed)
+                    img_u8 = np.asarray(jnp.clip(
+                        jnp.round(img * 255.0), 0, 255).astype(jnp.uint8))
+                    gt_u8 = (np.clip(gt, 0, 1) * 255).astype(np.uint8)
+                    frames_out.append(
+                        np.concatenate([img_u8, gt_u8], axis=1))
             host_rows.append(hrow)
 
         for name, vals, hrow in zip(names, jax.device_get(pending),
