@@ -64,12 +64,11 @@ def main(budget_mult: int = 2, max_tiles: int = 4):
     )
     loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0, dssim_weight=0.25))
     opt = fateavatar_optimizers({})
-    step = make_train_step(
-        model, loss_fn, opt,
-        MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
-                          opacity_reset_interval=10**9),
-        render_cfg,
-    )
+    maint = MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
+                              opacity_reset_interval=10**9)
+    step = make_train_step(model, loss_fn, opt, maint, render_cfg)
+    raw_step = make_train_step(model, loss_fn, opt, maint, render_cfg,
+                               return_raw=True)
     ts = init_train_state(params, state, opt)
 
     rng = np.random.default_rng(0)
@@ -82,14 +81,35 @@ def main(budget_mult: int = 2, max_tiles: int = 4):
         bg_color=jnp.ones(3),
     )
 
+    # The headline times the SCANNED multi-step program — the trainer's
+    # scan-epoch mode runs production epochs exactly like this (one
+    # dispatch per epoch over device-resident frames), and it is immune to
+    # the remote tunnel's per-dispatch overhead, which varies 1-6 ms
+    # between sessions and was adding +-30% noise to per-dispatch timings.
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+    def scan_steps(ts, k):
+        def body(ts, _):
+            ts, aux = raw_step(ts, frame)
+            return ts, aux["overflow"]
+        return jax.lax.scan(body, ts, None, length=k)
+
     def run(n):
+        nonlocal ts
+        ts, ovf = scan_steps(ts, n)
+        jax.block_until_ready(ovf)
+        return {"overflow": jnp.sum(ovf)}
+
+    def run_dispatch(n):
         nonlocal ts
         for _ in range(n):
             ts, aux = step(ts, frame)
         jax.block_until_ready(aux["loss"])
         return aux
 
-    run(3)  # warmup / compile
+    run(3)       # warmup / compile (scan program)
+    run_dispatch(3)
     n = 30
     its = None
     # best of 3: the remote-TPU tunnel adds run-to-run slow-side variance
@@ -120,6 +140,14 @@ def main(budget_mult: int = 2, max_tiles: int = 4):
         print("[warn] no plausible timing window; reporting 0",
               file=sys.stderr)
         its = 0.0
+
+    # secondary (stderr): per-dispatch stepping (the non-scan trainer path;
+    # includes the tunnel's per-dispatch overhead)
+    t0 = time.perf_counter()
+    run_dispatch(n)
+    d_its = n / (time.perf_counter() - t0)
+    print(f"[secondary] per-dispatch train step: {d_its:.1f} it/s",
+          file=sys.stderr)
 
     # secondary metric (stderr): forward-only render FPS (BASELINE config 1/2)
     import jax as _jax
@@ -170,7 +198,8 @@ def main(budget_mult: int = 2, max_tiles: int = 4):
     result = {
         "metric": (
             f"FateAvatar train-step it/s (512x512, {tex*tex} splats, "
-            f"fwd+bwd rasterize + Adam, {backend}/{render_cfg.resolve_impl()})"
+            f"fwd+bwd rasterize + Adam, scanned steps, "
+            f"{backend}/{render_cfg.resolve_impl()})"
         ),
         "value": round(its, 3),
         "unit": "it/s",
