@@ -72,7 +72,7 @@ def load_eg3d_from_torch(path: str,
         raw = {k: np.asarray(v) for k, v in np.load(path).items()}
     else:
         import torch  # CPU torch is available in-env; lazy import
-        sd = torch.load(path, map_location="cpu")
+        sd = torch.load(path, map_location="cpu", weights_only=True)
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]
         raw = {k: v.detach().cpu().numpy() for k, v in sd.items()

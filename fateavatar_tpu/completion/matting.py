@@ -208,7 +208,7 @@ def load_modnet_from_torch(path: str) -> Params:
     ``module.`` prefixes) to the flat JAX dict."""
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     out = {}

@@ -225,7 +225,7 @@ def load_gfpgan_from_torch(path: str, cfg: Optional[GFPGANConfig] = None):
     checkpoint keys the graph will not consume."""
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
     for key in ("params_ema", "params", "state_dict", "generator"):
         if isinstance(sd, dict) and key in sd:
             sd = sd[key]

@@ -43,10 +43,16 @@ class FlameModel:
     canonical_exp: jax.Array = None       # [1, n_exp]
     canonical_pose: jax.Array = None      # [1, 15]
     # 68-point landmark embedding (FLAME.py:66-93 loads
-    # landmark_embedding.npy; the dynamic yaw-dependent contour variant is
-    # folded into the 'full' set here — completion only needs projected 68s)
+    # landmark_embedding.npy: a static full-68 set plus a yaw-binned dynamic
+    # jaw-contour table). lmk_faces_idx/lmk_bary_coords hold the static
+    # full-68 embedding; the dynamic tables (79 yaw bins x 17 contour
+    # points, benchmark/nersemble/FLAME.py:213-260) drive
+    # :func:`flame_landmarks_dynamic` for dlib-style contour behaviour at
+    # profile views.
     lmk_faces_idx: jax.Array = None       # [L] int32 face per landmark
     lmk_bary_coords: jax.Array = None     # [L, 3] barycentric weights
+    dynamic_lmk_faces_idx: jax.Array = None    # [79, 17] int32
+    dynamic_lmk_bary_coords: jax.Array = None  # [79, 17, 3]
 
     @property
     def num_verts(self) -> int:
@@ -195,6 +201,84 @@ def flame_landmarks(model: FlameModel, vertices: jax.Array) -> jax.Array:
     return vertices2landmarks(
         vertices, model.faces, model.lmk_faces_idx, model.lmk_bary_coords
     )
+
+
+def _neck_kin_chain(model: FlameModel, neck_idx: int = 1):
+    """Joint chain neck -> root (FLAME.py:87-93). Static python tuple."""
+    parents = [int(p) for p in jax.device_get(model.parents)]
+    chain, cur = [], neck_idx
+    while cur != -1:
+        chain.append(cur)
+        cur = parents[cur]
+    return tuple(chain)
+
+
+def rot_mat_to_euler_y(rot_mats: jax.Array) -> jax.Array:
+    """Yaw angle from a rotation matrix (flame/lbs.py:344-350):
+    atan2(-R[2,0], hypot(R[0,0], R[1,0]))."""
+    sy = jnp.sqrt(rot_mats[..., 0, 0] ** 2 + rot_mats[..., 1, 0] ** 2)
+    return jnp.arctan2(-rot_mats[..., 2, 0], sy)
+
+
+def find_dynamic_lmk_idx_and_bcoords(
+    model: FlameModel, full_pose: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Yaw-binned jaw-contour selection
+    (benchmark/nersemble/FLAME.py:213-260, from smplx).
+
+    Composes the neck-chain rotations from ``full_pose`` [B, 15], converts
+    the relative yaw to a rounded degree bin clamped to [-39, 39] (negative
+    yaws map to rows 40..78), and gathers that row of the 79x17 dynamic
+    contour table. Pure gather — jit/vmap safe.
+    """
+    B = full_pose.shape[0]
+    chain = _neck_kin_chain(model)
+    aa = full_pose.reshape(B, -1, 3)[:, jnp.asarray(chain)]      # [B, C, 3]
+    rot_mats = axis_angle_to_matrix(aa)                          # [B, C, 3, 3]
+    rel = jnp.broadcast_to(jnp.eye(3, dtype=full_pose.dtype), (B, 3, 3))
+    for i in range(len(chain)):
+        rel = rot_mats[:, i] @ rel
+    return dynamic_lmk_rows_from_rot(model, rel)
+
+
+def dynamic_lmk_rows_from_rot(
+    model: FlameModel, rel: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Contour-row selection from an already-composed relative rotation
+    [B, 3, 3] — lets callers fold camera orbit into the apparent yaw (a
+    dlib detector on an orbit render sees camera azimuth as head yaw)."""
+    y_deg = jnp.round(
+        jnp.clip(-rot_mat_to_euler_y(rel) * 180.0 / jnp.pi, None, 39.0)
+    ).astype(jnp.int32)                                          # [B]
+    neg_mask = (y_deg < 0).astype(jnp.int32)
+    big_neg = (y_deg < -39).astype(jnp.int32)
+    neg_vals = big_neg * 78 + (1 - big_neg) * (39 - y_deg)
+    y_idx = neg_mask * neg_vals + (1 - neg_mask) * y_deg         # [B] in [0,78]
+    return (model.dynamic_lmk_faces_idx[y_idx],
+            model.dynamic_lmk_bary_coords[y_idx])
+
+
+def flame_landmarks_dynamic(
+    model: FlameModel, vertices: jax.Array, full_pose: jax.Array
+) -> jax.Array:
+    """68 landmarks with the yaw-dependent jaw contour: [17 dynamic contour
+    ++ 51 static] per batch row (benchmark/nersemble/FLAME.py:319-325).
+
+    Falls back to the static full-68 set when the model carries no dynamic
+    table. ``lmk_faces_idx`` must then hold the full 68 embedding whose
+    last 51 rows are the static (non-contour) landmarks."""
+    if model.dynamic_lmk_faces_idx is None:
+        return flame_landmarks(model, vertices)
+    B = vertices.shape[0]
+    dyn_faces, dyn_bary = find_dynamic_lmk_idx_and_bcoords(model, full_pose)
+    static_faces = jnp.broadcast_to(model.lmk_faces_idx[-51:], (B, 51))
+    static_bary = jnp.broadcast_to(model.lmk_bary_coords[-51:], (B, 51, 3))
+    faces_idx = jnp.concatenate([dyn_faces, static_faces], axis=1)   # [B, 68]
+    bary = jnp.concatenate([dyn_bary, static_bary], axis=1)          # [B, 68, 3]
+    lmk_verts = vertices[
+        jnp.arange(B)[:, None, None], model.faces[faces_idx]
+    ]                                                                # [B, 68, 3, 3]
+    return jnp.einsum("blfk,blf->blk", lmk_verts, bary)
 
 
 # ---------------------------------------------------------------------------

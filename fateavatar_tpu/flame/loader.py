@@ -90,23 +90,41 @@ def load_flame_pickle(path: str):
     return out
 
 
+def _tensor_to_np(x):
+    """Entries of landmark_embedding.npy may be pickled torch tensors
+    (FLAME.py:75 calls .long() on them directly)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
 def load_landmark_embedding(path: str):
     """Read the reference's ``landmark_embedding.npy`` (FLAME.py:66-93).
 
     The file is a pickled dict with static (51), dynamic-contour (17 x 79
-    yaw bins) and full (68) barycentric embeddings; the full set is what the
-    completion keypoint stage consumes. Returns (faces_idx [68] int32,
-    bary [68, 3] float32)."""
+    yaw bins) and full (68) barycentric embeddings. Returns
+    (faces_idx [68] int32, bary [68, 3] float32, dynamic_faces [79, 17]
+    int32 or None, dynamic_bary [79, 17, 3] float32 or None). The full-68
+    set is ordered [17 contour ++ 51 static] so the dynamic variant can
+    splice rows (flame.flame_landmarks_dynamic)."""
     raw = np.load(path, allow_pickle=True)
     if raw.dtype == object:
         raw = raw[()]
+    dyn_faces = dyn_bary = None
     if isinstance(raw, dict):
-        faces = np.asarray(raw["full_lmk_faces_idx"]).reshape(-1)
-        bary = np.asarray(raw["full_lmk_bary_coords"]).reshape(-1, 3)
+        faces = _tensor_to_np(raw["full_lmk_faces_idx"]).reshape(-1)
+        bary = _tensor_to_np(raw["full_lmk_bary_coords"]).reshape(-1, 3)
+        if "dynamic_lmk_faces_idx" in raw:
+            dyn_faces = _tensor_to_np(
+                raw["dynamic_lmk_faces_idx"]
+            ).reshape(79, -1).astype(np.int32)
+            dyn_bary = _tensor_to_np(
+                raw["dynamic_lmk_bary_coords"]
+            ).reshape(79, dyn_faces.shape[1], 3).astype(np.float32)
     else:  # plain [L, 4] rows of (face_idx, b0, b1, b2)
         faces = raw[:, 0]
         bary = raw[:, 1:4]
-    return faces.astype(np.int32), bary.astype(np.float32)
+    return faces.astype(np.int32), bary.astype(np.float32), dyn_faces, dyn_bary
 
 
 def make_flame(
@@ -168,6 +186,14 @@ def make_flame(
                        if landmark_embedding is not None else None),
         lmk_bary_coords=(jnp.asarray(landmark_embedding[1])
                          if landmark_embedding is not None else None),
+        dynamic_lmk_faces_idx=(
+            jnp.asarray(landmark_embedding[2])
+            if landmark_embedding is not None and len(landmark_embedding) > 2
+            and landmark_embedding[2] is not None else None),
+        dynamic_lmk_bary_coords=(
+            jnp.asarray(landmark_embedding[3])
+            if landmark_embedding is not None and len(landmark_embedding) > 3
+            and landmark_embedding[3] is not None else None),
     )
 
 
@@ -220,6 +246,9 @@ def synthetic_flame(
     }
     lmk_faces = rng.integers(0, len(faces), size=68).astype(np.int32)
     lmk_bary = rng.dirichlet(np.ones(3), size=68).astype(np.float32)
+    dyn_faces = rng.integers(0, len(faces), size=(79, 17)).astype(np.int32)
+    dyn_bary = rng.dirichlet(np.ones(3), size=(79, 17)).astype(np.float32)
     return make_flame(data, n_shape=n_shape, n_exp=n_exp,
                       canonical_pose=canonical_pose,
-                      landmark_embedding=(lmk_faces, lmk_bary))
+                      landmark_embedding=(lmk_faces, lmk_bary,
+                                          dyn_faces, dyn_bary))

@@ -163,12 +163,16 @@ class TestLandmarks:
             "full_lmk_bary_coords": rng.dirichlet(np.ones(3), 68),
             "static_lmk_faces_idx": rng.integers(0, 100, 51),
         }
+        d["dynamic_lmk_faces_idx"] = rng.integers(0, 100, (79, 17)).astype(np.int64)
+        d["dynamic_lmk_bary_coords"] = rng.dirichlet(np.ones(3), (79, 17))
         path = str(tmp_path / "landmark_embedding.npy")
         np.save(path, d, allow_pickle=True)
-        faces, bary = load_landmark_embedding(path)
+        faces, bary, dyn_faces, dyn_bary = load_landmark_embedding(path)
         assert faces.shape == (68,) and faces.dtype == np.int32
         assert bary.shape == (68, 3) and bary.dtype == np.float32
         np.testing.assert_allclose(bary.sum(1), 1.0, atol=1e-5)
+        assert dyn_faces.shape == (79, 17) and dyn_faces.dtype == np.int32
+        assert dyn_bary.shape == (79, 17, 3)
 
     def test_landmark_embedding_loader_flat_rows(self, tmp_path):
         from fateavatar_tpu.flame.loader import load_landmark_embedding
@@ -178,6 +182,44 @@ class TestLandmarks:
              np.full((68, 3), 1.0 / 3.0)], axis=1)
         path = str(tmp_path / "lmk_flat.npy")
         np.save(path, rows)
-        faces, bary = load_landmark_embedding(path)
+        faces, bary, dyn_faces, dyn_bary = load_landmark_embedding(path)
         assert faces.shape == (68,)
+        assert dyn_faces is None and dyn_bary is None
         np.testing.assert_allclose(bary, 1.0 / 3.0, atol=1e-6)
+
+    def test_dynamic_contour_selects_yaw_bin(self):
+        """Yaw +-60deg must select the profile contour rows, yaw 0 the
+        frontal row (benchmark/nersemble/FLAME.py:246-258 binning)."""
+        import jax.numpy as jnp
+        from fateavatar_tpu.flame.flame import (
+            find_dynamic_lmk_idx_and_bcoords, flame_forward,
+            flame_landmarks, flame_landmarks_dynamic,
+        )
+
+        m = synthetic_flame(n_verts=96, n_shape=4, n_exp=4, seed=3)
+        pose0 = jnp.zeros((1, 15))
+        f0, b0 = find_dynamic_lmk_idx_and_bcoords(m, pose0)
+        np.testing.assert_array_equal(
+            np.asarray(f0[0]), np.asarray(m.dynamic_lmk_faces_idx[0]))
+
+        # root yaw +60deg: y = round(-60) < -39 -> row 78 (deep negative
+        # bin); yaw -60deg: y = round(60) clamps to 39 -> row 39
+        yaw = jnp.zeros((1, 15)).at[0, 1].set(jnp.pi / 3)  # rot about y-axis
+        f_pos, _ = find_dynamic_lmk_idx_and_bcoords(m, yaw)
+        f_neg, _ = find_dynamic_lmk_idx_and_bcoords(m, -yaw)
+        rows = np.asarray(m.dynamic_lmk_faces_idx)
+        assert (np.asarray(f_pos[0]) == rows[78]).all()
+        assert (np.asarray(f_neg[0]) == rows[39]).all()
+        # the two profile directions must pick different rows from frontal
+        assert not (np.asarray(f_pos[0]) == rows[0]).all()
+        assert not (np.asarray(f_neg[0]) == rows[0]).all()
+        assert not (np.asarray(f_pos[0]) == np.asarray(f_neg[0])).all()
+
+        # landmark extraction: dynamic contour changes only rows 0..16
+        verts, _, _ = flame_forward(m, jnp.zeros((1, m.n_exp)), yaw)
+        lmk_dyn = flame_landmarks_dynamic(m, verts, yaw)
+        lmk_static = flame_landmarks(m, verts)
+        assert lmk_dyn.shape == (1, 68, 3)
+        np.testing.assert_allclose(
+            np.asarray(lmk_dyn[0, 17:]), np.asarray(lmk_static[0, 17:]),
+            atol=1e-6)
