@@ -56,6 +56,7 @@ def main(argv=None):
         data_parallel=args.dp,
         snapshot_interval=cfg.training.snapshot_interval,
         device_frame_cache=cfg.training.device_frame_cache,
+        lpips_weights_path=cfg.assets.lpips_weights_path,
     )
     if args.resume:
         trainer.load_checkpoint()

@@ -84,42 +84,54 @@ class SSIMMeter(Meter):
 
 
 class LPIPSMeter(Meter):
-    """LPIPS meter. Needs calibrated network weights; in their absence the
-    meter records NaN and ``available`` is False (zero-egress environments
-    cannot fetch the published weights — supply them via ``weights_path``)."""
+    """Native LPIPS meter (train/metrics.py:65-74, net='alex' default).
 
-    def __init__(self, net: str = "alex", weights_path: Optional[str] = None):
+    The distance runs fully in JAX (:mod:`fateavatar_tpu.train.lpips`);
+    calibrated weights come from ``weights_path`` — a converted ``.npz``, a
+    full exported LPIPS state dict, or the official lin-only checkpoint
+    plus ``backbone_path`` (torchvision backbone). Without weights the
+    meter records NaN and ``available`` is False (zero-egress environments
+    cannot fetch the published weights)."""
+
+    def __init__(self, net: str = "alex", weights_path: Optional[str] = None,
+                 backbone_path: Optional[str] = None, params=None):
         super().__init__("LPIPS")
         self.available = False
-        self._fn = None
-        if weights_path is not None:
+        self._dist = None
+        if params is None and weights_path is not None:
             try:
-                import lpips  # noqa: F401  (only if the user installed it)
-                import torch
+                from fateavatar_tpu.train.lpips import load_lpips_from_torch
 
-                self._fn = lpips.LPIPS(net=net, model_path=weights_path).eval()
-                self.available = True
-            except Exception:
-                self.available = False
+                params = load_lpips_from_torch(
+                    weights_path, backbone=net, backbone_path=backbone_path)
+            except Exception as e:  # weights missing/corrupt: stay disabled
+                import warnings
+
+                warnings.warn(f"LPIPS weights failed to load: {e}")
+                params = None
+        if params is not None:
+            import jax
+
+            from fateavatar_tpu.train.lpips import lpips_distance
+
+            self._dist = jax.jit(
+                lambda p, t: lpips_distance(params, p, t, normalize=True))
+            self.available = True
 
     def update(self, preds, truths):
         if not self.available:
             self.V_cur = float("nan")
             return
-        import torch
-
-        p = torch.from_numpy(np.asarray(preds)).permute(2, 0, 1)[None].float()
-        t = torch.from_numpy(np.asarray(truths)).permute(2, 0, 1)[None].float()
-        with torch.no_grad():
-            v = self._fn(t, p, normalize=True).item()
+        v = float(self._dist(jnp.asarray(preds, jnp.float32),
+                             jnp.asarray(truths, jnp.float32)))
         super().update(v)
 
 
-def default_meters() -> dict:
+def default_meters(lpips_weights_path: Optional[str] = None) -> dict:
     return {
         "psnr": PSNRMeter(),
         "ssim": SSIMMeter(),
         "l1": L1Meter(),
         "l2": L2Meter(),
-        "lpips": LPIPSMeter(),
+        "lpips": LPIPSMeter(weights_path=lpips_weights_path),
     }

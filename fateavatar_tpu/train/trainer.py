@@ -70,6 +70,7 @@ class Trainer:
         adapter=None,
         data_parallel: int = 0,
         device_frame_cache: str = "auto",
+        lpips_weights_path=None,
     ):
         self.name = name
         self.model = model
@@ -82,6 +83,7 @@ class Trainer:
         self.maint_cfg = maint_cfg
         self.bg_color = jnp.asarray(bg_color, jnp.float32)
         self.snapshot_interval = snapshot_interval
+        self.lpips_weights_path = lpips_weights_path
 
         self.logger = Logger(name, workspace)
         self.epoch = 0
@@ -570,7 +572,8 @@ class Trainer:
         if mode == "test" and self.tracking_enabled:
             self.optimize_tracking(optim_epoch or 50)
 
-        meters = metrics_mod.default_meters()
+        meters = metrics_mod.default_meters(
+            lpips_weights_path=self.lpips_weights_path)
         per_frame = []
         frames_out = []
         tables = None
