@@ -99,20 +99,36 @@ def construct_loss(cfg: Config, faces=None) -> FateAvatarLoss:
                 "to train without the perceptual term."
             )
         vgg_params = load_vgg16_from_torch(cfg.assets.vgg16_weights_path)
+    lpips_params = None
+    if cfg.loss.lpips_weight > 0:
+        if cfg.assets.lpips_weights_path is None:
+            raise ValueError(
+                "loss.lpips_weight > 0 needs assets.lpips_weights_path "
+                "(an exported lpips.LPIPS state_dict or converted .npz; "
+                "the reference uses the vgg backbone for the loss term, "
+                "train/loss.py:91). Set loss.lpips_weight=0 to disable."
+            )
+        from fateavatar_tpu.train.lpips import load_lpips_from_torch
+
+        lpips_params = load_lpips_from_torch(
+            cfg.assets.lpips_weights_path, backbone="vgg")
     loss_cfg = FateAvatarLossConfig(
         rgb_type=cfg.loss.rgb_type,
         rgb_weight=cfg.loss.rgb_weight,
         vgg_weight=cfg.loss.vgg_weight,
+        vgg_dtype=(None if cfg.loss.vgg_dtype in (None, "float32")
+                   else cfg.loss.vgg_dtype),
         dssim_weight=cfg.loss.dssim_weight,
         scale_weight=cfg.loss.scale_weight,
         scale_threshold=cfg.loss.scale_threshold,
-        lpips_weight=0.0,  # LPIPS is an eval metric here; see train/metrics.py
+        lpips_weight=cfg.loss.lpips_weight,
         rot_weight=cfg.loss.rot_weight,
         laplacian_weight=cfg.loss.laplacian_weight,
         normal_weight=cfg.loss.normal_weight,
         flame_weight=cfg.loss.flame_weight,
     )
-    return FateAvatarLoss(loss_cfg, faces=faces, vgg_params=vgg_params)
+    return FateAvatarLoss(loss_cfg, faces=faces, vgg_params=vgg_params,
+                          lpips_params=lpips_params)
 
 
 def render_config(cfg: Config) -> RenderConfig:

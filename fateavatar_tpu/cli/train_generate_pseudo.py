@@ -101,6 +101,9 @@ def main(argv=None):
             num_views=args.num_views,
             orbit_radius=args.orbit_radius,
             out_dir=f"{args.workspace}/pseudo",
+            # the reference rejects crops whose face is < 256 px at 512^2
+            # renders (affine_util.py:99) — scale with render resolution
+            min_face_size=min(identity["img_res"]) // 2,
         ),
         render_cfg=common.render_config(cfg),
         provider=provider,

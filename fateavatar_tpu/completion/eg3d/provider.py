@@ -66,14 +66,24 @@ class EG3DPseudoProvider:
         return x * 2.0 - 1.0             # [0,1] -> [-1,1]
 
     # ------------------------------------------------------------------
-    def invert(self, crops: np.ndarray, angles: np.ndarray) -> None:
-        """Run both PTI stages on the frontal subset of the orbit renders."""
+    def invert(self, crops: np.ndarray, angles: np.ndarray,
+               labels: Optional[np.ndarray] = None) -> None:
+        """Run both PTI stages on the frontal subset of the input crops.
+
+        ``labels``: per-crop 25-d EG3D camera labels from stage ③
+        (alignment.eg3dcamparams — the dataset.json of
+        train/completion.py:492-498). Without them the provider falls back
+        to its internal orbit assumption."""
         wrapped = (np.asarray(angles) + np.pi) % (2 * np.pi) - np.pi
         order = np.argsort(np.abs(wrapped))
         keep = [i for i in order if abs(wrapped[i]) <= self.pcfg.front_halfwidth]
         keep = keep[: self.pcfg.max_target_views] or [int(order[0])]
         targets = self._resize(crops[keep], self.cfg.sr_resolution)
-        labels = jnp.asarray(np.stack([self._label(wrapped[i]) for i in keep]))
+        if labels is not None:
+            labels = jnp.asarray(np.stack([labels[i] for i in keep]))
+        else:
+            labels = jnp.asarray(np.stack(
+                [self._label(wrapped[i]) for i in keep]))
         key = jax.random.PRNGKey(self.pcfg.seed)
         ws = project_w(self.params, self.cfg, self.pti_cfg, targets, labels,
                        key, self.vgg_params, self.log_fn)
@@ -101,7 +111,11 @@ class EG3DPseudoProvider:
         return np.stack(out)
 
     # ------------------------------------------------------------------
-    def generate(self, crops: np.ndarray, angles: np.ndarray) -> np.ndarray:
+    def generate(self, crops: np.ndarray, angles: np.ndarray,
+                 labels: Optional[np.ndarray] = None,
+                 out_angles: Optional[np.ndarray] = None) -> np.ndarray:
         """PseudoViewProvider protocol entry (pseudo.py stage ⑤/⑥)."""
-        self.invert(crops, angles)
-        return self.render_orbit(np.asarray(angles), crops.shape[1])
+        self.invert(crops, angles, labels=labels)
+        if out_angles is None:
+            out_angles = angles
+        return self.render_orbit(np.asarray(out_angles), crops.shape[1])

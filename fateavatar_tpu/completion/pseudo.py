@@ -41,28 +41,36 @@ from fateavatar_tpu.utils.logging import Logger, save_image
 
 
 class PseudoViewProvider(Protocol):
-    """Stage ⑤/⑥ abstraction: given the avatar's frontal crops, produce
-    pseudo views along the orbit. The reference implements this with
-    SphereHead PTI (200 W-steps + 200 generator-tune steps,
-    tools/eg3d_utils/pti.py:29-362)."""
+    """Stage ⑤/⑥ abstraction: given the avatar's FFHQ-aligned crops (and
+    their EG3D camera labels from stage ③), produce pseudo views along
+    ``out_angles``. The reference implements this with SphereHead PTI
+    (200 W-steps + 200 generator-tune steps, tools/eg3d_utils/pti.py:29-362)."""
 
-    def generate(self, crops: np.ndarray, angles: np.ndarray) -> np.ndarray:
+    def generate(self, crops: np.ndarray, angles: np.ndarray,
+                 labels: Optional[np.ndarray] = None,
+                 out_angles: Optional[np.ndarray] = None) -> np.ndarray:
         ...
 
 
 class MirrorPseudoProvider:
-    """Weight-free placeholder provider: mirrors the nearest front view and
+    """Weight-free placeholder provider: mirrors the nearest source view and
     fades detail with angular distance from the front. NOT a generative
     prior — documents the interface and keeps the pipeline runnable."""
 
-    def generate(self, crops: np.ndarray, angles: np.ndarray) -> np.ndarray:
-        n_src = len(crops)
+    def generate(self, crops: np.ndarray, angles: np.ndarray,
+                 labels: Optional[np.ndarray] = None,
+                 out_angles: Optional[np.ndarray] = None) -> np.ndarray:
+        if out_angles is None:
+            out_angles = angles
+        src_a = (np.asarray(angles) + np.pi) % (2 * np.pi) - np.pi
         out = []
         mean_color = crops.mean(axis=(0, 1, 2), keepdims=True)[0]
-        for ang in angles:
+        for ang in out_angles:
             # wrap angle to [-pi, pi); 0 == front
             a = (ang + np.pi) % (2 * np.pi) - np.pi
-            src = crops[int(abs(a) / np.pi * (n_src - 1))]
+            i = int(np.argmin(np.abs(np.abs(src_a) - abs(a))
+                              % (2 * np.pi)))
+            src = crops[i]
             img = src[:, ::-1] if a < 0 else src
             back_ness = min(abs(a) / np.pi, 1.0)
             out.append(img * (1 - back_ness) + mean_color * back_ness)
@@ -75,6 +83,10 @@ class PseudoGeneratorConfig:
     orbit_radius: float = 2.7
     crop_size: int = 512
     out_dir: str = "./pseudo"
+    # crop_final rejects faces smaller than this many px (affine_util.py:99
+    # uses 256 at 512^2 renders); None disables — needed for small test
+    # renders
+    min_face_size: Optional[int] = None
 
 
 class PseudoGenerator:
@@ -115,8 +127,12 @@ class PseudoGenerator:
         cams, c2ws = orbit_cameras(
             self.cfg.num_views, lookat, radius or self.cfg.orbit_radius,
             fovx, fovy, cfgm.img_width, cfgm.img_height,
+            # index 0 == front: EG3D's frontal camera sits at horizontal
+            # pi/2 (tools/eg3d_utils/pti.py:71), so h = pi/2 + angle
+            h_range=(np.pi / 2, np.pi / 2 + 2 * np.pi),
         )
-        self._last_cams = cams          # reused by stage ② in run()
+        self._last_cams = cams          # reused by stages ②/③ in run()
+        self._lookat = lookat
         expr = self.model.flame.canonical_exp[0]
         pose = self.model.flame.canonical_pose[0]
         fwd = jax.jit(lambda cam: fateavatar_forward(
@@ -141,7 +157,10 @@ class PseudoGenerator:
     # (needs the landmark embedding asset; returns None without it).
     # ------------------------------------------------------------------
     def detect_keypoints(self, cams):
-        from fateavatar_tpu.flame.flame import flame_forward, flame_landmarks
+        from fateavatar_tpu.flame.flame import (
+            dynamic_lmk_rows_from_rot, flame_forward, flame_landmarks,
+            vertices2landmarks,
+        )
 
         flame = self.model.flame
         if flame.lmk_faces_idx is None:
@@ -150,14 +169,28 @@ class PseudoGenerator:
         verts, _, _ = flame_forward(
             flame, flame.canonical_exp, flame.canonical_pose
         )
-        lmk3d = flame_landmarks(flame, verts)[0]          # [68, 3]
         out = []
         for cam in cams:
+            if flame.dynamic_lmk_faces_idx is not None:
+                # a dlib detector on an orbit render sees the camera azimuth
+                # as head yaw — select the contour from the view rotation
+                # (the dynamic table of benchmark/nersemble/FLAME.py:213-260)
+                rel = cam.view[None, :3, :3]
+                dyn_f, dyn_b = dynamic_lmk_rows_from_rot(flame, rel)
+                faces_idx = jnp.concatenate(
+                    [dyn_f[0], flame.lmk_faces_idx[-51:]], axis=0)
+                bary = jnp.concatenate(
+                    [dyn_b[0], flame.lmk_bary_coords[-51:]], axis=0)
+                lmk3d = vertices2landmarks(
+                    verts, flame.faces, faces_idx, bary)[0]   # [68, 3]
+            else:
+                lmk3d = flame_landmarks(flame, verts)[0]      # [68, 3]
             p = lmk3d @ cam.full_proj[:, :3].T + cam.full_proj[:, 3]
             ndc = p[:, :2] / jnp.maximum(p[:, 3:4], 1e-6)
-            px = (ndc * 0.5 + 0.5) * jnp.asarray(
+            # ndc2Pix pixel-center convention (preprocess.py:180, auxiliary.h:41)
+            px = ((ndc + 1.0) * jnp.asarray(
                 [cam.width, cam.height], jnp.float32
-            )
+            ) - 1.0) * 0.5
             visible = p[:, 3] > 0
             out.append(np.concatenate(
                 [np.asarray(px), np.asarray(visible)[:, None]], axis=1
@@ -168,8 +201,116 @@ class PseudoGenerator:
         return kps
 
     # ------------------------------------------------------------------
-    # stage ③/⑦: FFHQ-style crop and inverse paste-back (completion.py:305-498,
-    # 709-816) — pure affine image ops via cv2
+    # stage ③: FFHQ-style alignment (train/completion.py:305-498).
+    # The reference estimates pose with 3DDFA_V2; here the camera and the
+    # driving mesh are KNOWN, so the head pose (for the EG3D camera label
+    # and the rejection filters) and the head centre (for the quad
+    # refinement) are exact, not estimated.
+    # ------------------------------------------------------------------
+    def execute_affine_transform(self, renders, keypoints, cams):
+        import cv2
+
+        from fateavatar_tpu.completion.alignment import (
+            crop_final, eg3dcamparams, get_crop_bound, pose_reject,
+            refine_quad,
+        )
+
+        size = self.cfg.crop_size
+        V = len(renders)
+        angles = np.linspace(0, 2 * np.pi, V, endpoint=False)
+        # world->CV-camera frame compensation: the head model faces +z with
+        # +y up; at the frontal orbit view this makes the GAN-frame pose
+        # the identity (so eg3dcamparams reproduces the canonical frontal
+        # label, affine_util.py:5-28)
+        flip = np.diag([1.0, -1.0, -1.0])
+
+        crop_dir = os.path.join(self.cfg.out_dir, "affine")
+        os.makedirs(crop_dir, exist_ok=True)
+        out = {"index": [], "angle": [], "crop": [], "label": [], "quad": []}
+        labels_json = []
+        for i in range(V):
+            cam = cams[i]
+            lm = np.asarray(keypoints[i][:, :2])
+            quad, c, x_ax, y_ax = get_crop_bound(lm)
+
+            # exact head centre -> initial-crop coords (the reference uses
+            # 3DDFA's t3d normalized at completion.py:398-406)
+            h = np.asarray(cam.full_proj) @ np.append(self._lookat, 1.0)
+            ndc = h[:2] / max(float(h[3]), 1e-6)
+            ctr = ((ndc + 1.0) * np.array([cam.width, cam.height]) - 1.0) * 0.5
+            bound = np.array([[0, 0], [0, size - 1], [size - 1, size - 1]],
+                             np.float32)
+            mat = cv2.getAffineTransform(quad[:3].astype(np.float32), bound)
+            ctr_crop = mat[:, :2] @ ctr + mat[:, 2]
+            quad2, t3d = refine_quad(c, x_ax, y_ax, ctr_crop, size)
+            if not np.isfinite(quad2).all():
+                self.logger.log(f"[pseudo ③] view {i:04d} rejected: "
+                                "degenerate quad")
+                continue
+
+            R_gan = flip @ np.asarray(cam.view)[:3, :3]
+            reason = pose_reject(R_gan, t3d)
+            if reason is not None:
+                self.logger.log(f"[pseudo ③] view {i:04d} rejected: {reason}")
+                continue
+            crop = crop_final(renders[i], size, quad2,
+                              min_size=self.cfg.min_face_size)
+            if crop is None:
+                self.logger.log(f"[pseudo ③] view {i:04d} rejected: face "
+                                f"< {self.cfg.min_face_size}px")
+                continue
+            R4 = np.eye(4, dtype=np.float32)
+            R4[:3, :3] = R_gan
+            label = eg3dcamparams(R4)
+            save_image(os.path.join(crop_dir, f"{i:04d}.png"), crop)
+            labels_json.append((f"{i:04d}.png",
+                                [format(v, ".6f") for v in label]))
+            out["index"].append(i)
+            out["angle"].append(angles[i])
+            out["crop"].append(crop)
+            out["label"].append(label)
+            out["quad"].append(quad2)
+
+        with open(os.path.join(crop_dir, "dataset.json"), "w") as f:
+            json.dump({"labels": labels_json}, f, indent="\t")
+        if out["index"]:
+            np.save(os.path.join(self.cfg.out_dir, "quads.npy"),
+                    np.stack(out["quad"]))
+            # the paste-back reference quad: the accepted view closest to
+            # the front (the reference hard-picks 0001.png,
+            # completion.py:740)
+            front = int(np.argmin(np.abs(
+                (np.asarray(out["angle"]) + np.pi) % (2 * np.pi) - np.pi)))
+            out["front_quad"] = out["quad"][front]
+        else:
+            out["front_quad"] = None
+        for k in ("crop", "label", "angle"):
+            out[k] = np.asarray(out[k], np.float32) if out[k] else None
+        self.logger.log(
+            f"[pseudo ③] {len(out['index'])}/{V} views aligned -> {crop_dir}")
+        return out
+
+    # ------------------------------------------------------------------
+    # stage ⑦: inverse paste-back (train/completion.py:709-816)
+    # ------------------------------------------------------------------
+    def execute_inverse_transform(self, pseudo, front_quad):
+        from fateavatar_tpu.completion.alignment import paste_back_images
+
+        out_size = self.model.cfg.img_height
+        pasted, valid = paste_back_images(
+            pseudo, front_quad, out_size=out_size,
+            bg_color=float(np.asarray(
+                jax.device_get(self.model.bg_color)).mean()),
+        )
+        img_dir = os.path.join(self.cfg.out_dir, "image")
+        os.makedirs(img_dir, exist_ok=True)
+        for i, img in enumerate(pasted):
+            save_image(os.path.join(img_dir, f"{i:04d}.png"), img)
+        self.logger.log(f"[pseudo ⑦] {len(pasted)} views pasted -> {img_dir}")
+        return pasted, valid
+
+    # ------------------------------------------------------------------
+    # legacy single-image helpers (kept for tests / ad-hoc use)
     # ------------------------------------------------------------------
     @staticmethod
     def crop_with_quad(image: np.ndarray, quad: np.ndarray, size: int):
@@ -198,22 +339,28 @@ class PseudoGenerator:
         return warped * mask + original * (1 - mask)
 
     # ------------------------------------------------------------------
-    # stage ⑤/⑥: provider-driven pseudo views
+    # stage ⑤/⑥: provider-driven pseudo views (aligned GAN frame)
     # ------------------------------------------------------------------
-    def generate_pseudo_views(self, front_images: np.ndarray):
-        angles = np.linspace(0, 2 * np.pi, self.cfg.num_views, endpoint=False)
-        pseudo = self.provider.generate(front_images, angles)
-        img_dir = os.path.join(self.cfg.out_dir, "image")
+    def generate_pseudo_views(self, crops: np.ndarray,
+                              crop_angles: Optional[np.ndarray] = None,
+                              labels: Optional[np.ndarray] = None):
+        out_angles = np.linspace(0, 2 * np.pi, self.cfg.num_views,
+                                 endpoint=False)
+        if crop_angles is None:
+            crop_angles = out_angles[: len(crops)]
+        pseudo = self.provider.generate(crops, crop_angles, labels=labels,
+                                        out_angles=out_angles)
+        img_dir = os.path.join(self.cfg.out_dir, "image_aligned")
         os.makedirs(img_dir, exist_ok=True)
         trajectory = {}
-        for i, (img, ang) in enumerate(zip(pseudo, angles)):
+        for i, (img, ang) in enumerate(zip(pseudo, out_angles)):
             name = f"{i:04d}"
             save_image(os.path.join(img_dir, name + ".png"), img)
             trajectory[name] = {"azimuth": float(ang)}
         with open(os.path.join(self.cfg.out_dir, "trajectory.json"), "w") as f:
             json.dump(trajectory, f, indent=2)
         self.logger.log(f"[pseudo ⑤/⑥] {len(pseudo)} pseudo views -> {img_dir}")
-        return pseudo, angles
+        return pseudo, out_angles
 
     # ------------------------------------------------------------------
     # stage ⑧: masks (completion.py:818-1028) — pluggable matting, alpha
@@ -257,18 +404,50 @@ class PseudoGenerator:
     # ------------------------------------------------------------------
     def run(self, fovx: float, fovy: float):
         """Full pipeline (the stage flags of train_generate_pseudo.py:15-23
-        collapse to one call here; stages are individually reusable)."""
+        collapse to one call here; stages are individually reusable):
+        ① orbit render → ② exact keypoints → ③ FFHQ align + EG3D labels
+        (+ pose rejection) → ④ restore the ALIGNED crops → ⑤/⑥ provider →
+        ⑦ paste back into the original framing → ⑧ masks → ⑨ heatmaps.
+        Writes ``image/`` (pasted, original framing — what the completion
+        trainer consumes) and ``trajectory.json``."""
         renders, c2ws = self.render_novel_view(fovx, fovy)
         keypoints = self.detect_keypoints(self._last_cams)
-        if self.restorer_fn is not None:
-            # stage ④ (completion.py:500-562): restore the crops that feed
-            # the GAN-inversion provider (GFPGANRestorer or user enhancer)
-            renders_for_provider = self.restorer_fn(renders)
-            self.logger.log("[pseudo ④] crops restored")
+
+        aligned = None
+        if keypoints is not None:
+            aligned = self.execute_affine_transform(
+                renders, keypoints, self._last_cams)
+        if aligned is None or aligned["front_quad"] is None:
+            # no landmark embedding (or every view rejected): degenerate
+            # path — feed raw renders, skip paste-back
+            self.logger.log("[pseudo ③] no aligned views; falling back to "
+                            "raw renders (no paste-back)")
+            crops, crop_angles, labels = renders, None, None
         else:
-            renders_for_provider = renders
-        pseudo, angles = self.generate_pseudo_views(renders_for_provider)
-        masks = self.retrieve_masks(pseudo)
-        self.heatmap_check(renders, pseudo)
-        return {"renders": renders, "pseudo": pseudo, "masks": masks,
-                "angles": angles, "c2w": c2ws, "keypoints": keypoints}
+            crops = aligned["crop"]
+            crop_angles = aligned["angle"]
+            labels = aligned["label"]
+
+        if self.restorer_fn is not None:
+            # stage ④ (completion.py:500-562): GFPGAN-class restoration of
+            # the FFHQ-ALIGNED crops that feed the GAN-inversion provider
+            crops = self.restorer_fn(crops)
+            self.logger.log("[pseudo ④] aligned crops restored")
+
+        pseudo, angles = self.generate_pseudo_views(crops, crop_angles, labels)
+
+        if aligned is not None and aligned["front_quad"] is not None:
+            pasted, _valid = self.execute_inverse_transform(
+                pseudo, aligned["front_quad"])
+        else:
+            pasted = pseudo
+            img_dir = os.path.join(self.cfg.out_dir, "image")
+            os.makedirs(img_dir, exist_ok=True)
+            for i, img in enumerate(pasted):
+                save_image(os.path.join(img_dir, f"{i:04d}.png"), img)
+
+        masks = self.retrieve_masks(pasted)
+        self.heatmap_check(renders, pasted)
+        return {"renders": renders, "pseudo": pseudo, "pasted": pasted,
+                "masks": masks, "angles": angles, "c2w": c2ws,
+                "keypoints": keypoints, "aligned": aligned}

@@ -29,6 +29,7 @@ class DatasetSection:
 @dataclass
 class LossSection:
     rgb_type: str = "l1"
+    vgg_dtype: str = "bfloat16"   # float32 | bfloat16 (MXU-friendly default)
     scale_threshold: float = 9.0
     rgb_weight: float = 1.0
     vgg_weight: float = 0.0

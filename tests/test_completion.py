@@ -65,15 +65,22 @@ class TestPseudoPipeline:
         gen = PseudoGenerator(
             model, params, state,
             PseudoGeneratorConfig(num_views=6, orbit_radius=0.5,
+                                  crop_size=RES,
                                   out_dir=str(tmp_path / "pseudo")),
             render_cfg=RENDER_CFG,
         )
         out = gen.run(0.8, 0.8)
         assert out["renders"].shape == (6, RES, RES, 3)
-        assert out["pseudo"].shape == (6, RES, RES, 3)
+        # pseudo views live in the aligned GAN frame (crop_size + FFHQ
+        # expand borders); pasted frames are back in the render framing
+        assert out["pseudo"].shape[0] == 6
+        assert out["pasted"].shape == (6, RES, RES, 3)
         assert out["masks"].shape == (6, RES, RES)
         assert os.path.exists(tmp_path / "pseudo" / "trajectory.json")
         assert len(os.listdir(tmp_path / "pseudo" / "image")) == 6
+        # back half of the orbit is pose-rejected (completion.py:419)
+        if out["aligned"] is not None:
+            assert 0 < len(out["aligned"]["index"]) < 6
 
     def test_crop_paste_roundtrip(self, avatar):
         from fateavatar_tpu.completion.pseudo import PseudoGenerator
