@@ -1,9 +1,19 @@
 """Benchmark harness — run on a real TPU chip by the driver.
 
-Measures the flagship hot path: full FateAvatar training steps (forward
-render 512x512 + loss + backward through the rasterizer + per-attribute
-Adam) on a 65k-splat synthetic avatar — the same configuration as the
-reference's train_mono_avatar hot loop (BASELINE.md config 3).
+Measures the flagship hot path: full FateAvatar training steps at 512x512
+on a 65k-splat synthetic avatar fitting a rendered (reachable) target
+image, with the REFERENCE loss configuration
+(rgb L1 + VGG16 perceptual 0.1 — config/fateavatar.yaml:18-19; the VGG
+weights are random here, identical FLOPs to pretrained) and the REFERENCE
+maintenance cadence live in the program (densify 3000 / prune 2000 /
+opacity-reset 60000, config/fateavatar.yaml:46-48, train/iteration.py:63-85;
+the benched span crosses step 6000 so one densify AND one prune actually
+fire). Binning capacities are NOT hand-tuned: a scout pass first runs the
+WHOLE benched span with robust caps, probing the true tile occupancy every
+few steps (render/autosize.py), and the caps are sized from the measured
+peak — so the timed run cannot overflow on this workload by construction
+(training is deterministic; the scout sees every state the timed run
+visits, including the post-densify growth).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "it/s", "vs_baseline": N}
@@ -11,19 +21,40 @@ Prints ONE JSON line:
 ``vs_baseline`` is value / 20.0: the BASELINE.md north-star is ">= 2x
 RTX3090 training it/s"; the reference publishes no number, so we use a
 20 it/s bar (2 x a 10 it/s RTX3090-class estimate for 512x512 65k-splat
-3DGS avatar training). vs_baseline >= 1.0 means the north-star target is
-met under that estimate.
+3DGS avatar training). The reported value is the MEDIAN of the plausible
+timing windows (the remote-TPU tunnel adds 10-20% run-to-run variance and
+occasionally drops executions; max/per-dispatch numbers go to stderr as
+metadata).
 """
 
 import json
-import os
+import statistics
 import sys
 import time
 
 import numpy as np
 
 
-def main(budget_mult: int = 2, max_tiles: int = 4):
+def _time_windows(run, n, attempts=5):
+    """Time ``run(n)`` repeatedly; return (plausible its/s list, dict with
+    the summed overflow across all windows)."""
+    vals, overflow = [], 0
+    for _ in range(attempts):
+        t0 = time.perf_counter()
+        a = run(n)
+        dt = time.perf_counter() - t0
+        cur = n / dt
+        overflow += a.get("overflow", 0)
+        if cur >= 1000:
+            print(f"[warn] implausible timing ({cur:.0f} it/s), retrying",
+                  file=sys.stderr)
+            time.sleep(2)
+            continue
+        vals.append(cur)
+    return vals, {"overflow": overflow}
+
+
+def main():
     import jax
     import jax.numpy as jnp
 
@@ -31,7 +62,9 @@ def main(budget_mult: int = 2, max_tiles: int = 4):
     from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
     from fateavatar_tpu.ops.camera import make_camera
     from fateavatar_tpu.render.render import RenderConfig
-    from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
+    from fateavatar_tpu.train.losses import (
+        FateAvatarLoss, FateAvatarLossConfig, vgg16_random_params,
+    )
     from fateavatar_tpu.train.optim import fateavatar_optimizers
     from fateavatar_tpu.train.step import (
         Frame, MaintenanceConfig, init_train_state, make_train_step,
@@ -51,154 +84,191 @@ def main(budget_mult: int = 2, max_tiles: int = 4):
     )
     model, params, state = init_fateavatar(mesh, flame, cfg)
 
-    # instance_budget 2N is sized for this workload (trained-avatar splat
-    # distributions need < 2 instances/gaussian at 512^2; the auto default
-    # 4N is the robust library setting) — overflow is asserted 0 below.
-    render_cfg = RenderConfig(
+    base_cfg = RenderConfig(
         impl="pallas" if backend == "tpu" else "xla",
-        max_per_tile=1024, chunk=64,
-        instance_budget=budget_mult * capacity,  # 0 -> 4N auto
-        # candidate rect cap sized to this workload (trained-avatar splats
-        # touch < 8 tiles at 512^2); overflow-guarded fallback below
-        max_tiles_per_gaussian=max_tiles,
+        max_per_tile=1024, chunk=64, binning="twotier",
     )
-    loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0, dssim_weight=0.25))
-    opt = fateavatar_optimizers({})
-    maint = MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
-                              opacity_reset_interval=10**9)
-    step = make_train_step(model, loss_fn, opt, maint, render_cfg)
-    raw_step = make_train_step(model, loss_fn, opt, maint, render_cfg,
-                               return_raw=True)
-    ts = init_train_state(params, state, opt)
 
     rng = np.random.default_rng(0)
+    camera = make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                         0.8, 0.8, res, res)
+
+    # The training target is a RENDER of the same avatar under a perturbed
+    # expression/pose — a reachable image, like fitting a real face. (A
+    # random-noise target drives splat scales to their clamp over a few
+    # hundred steps — max occupancy ~150 tiles/gaussian — which no real
+    # avatar workload does and which would force pathological binning caps.)
+    from fateavatar_tpu.models import fateavatar_forward
+
+    tgt_expr = jnp.asarray(rng.normal(size=6) * 0.5, jnp.float32)
+    tgt_pose = jnp.asarray(rng.normal(size=15) * 0.05, jnp.float32)
+    target = jax.jit(lambda: fateavatar_forward(
+        model, params, state, tgt_expr, tgt_pose, camera,
+        bg_color=jnp.ones(3),
+        render_cfg=base_cfg.replace(instance_budget=0,
+                                    max_tiles_per_gaussian=16,
+                                    bwd_slots=False),
+    )["rgb_image"])()
+
     frame = Frame(
         expression=jnp.zeros((6,), jnp.float32),
         flame_pose=jnp.zeros((15,), jnp.float32),
-        camera=make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
-                           0.8, 0.8, res, res),
-        rgb=jnp.asarray(rng.random((res, res, 3)), jnp.float32),
+        camera=camera,
+        rgb=jnp.clip(target, 0.0, 1.0),
         bg_color=jnp.ones(3),
     )
 
-    # The headline times the SCANNED multi-step program — the trainer's
-    # scan-epoch mode runs production epochs exactly like this (one
-    # dispatch per epoch over device-resident frames), and it is immune to
-    # the remote tunnel's per-dispatch overhead, which varies 1-6 ms
-    # between sessions and was adding +-30% noise to per-dispatch timings.
+    # ---- PRIMARY: reference loss + reference maintenance cadence ----
+    loss_fn = FateAvatarLoss(
+        FateAvatarLossConfig(rgb_weight=1.0, vgg_weight=0.1,
+                             vgg_dtype="bfloat16"),
+        vgg_params=vgg16_random_params(jax.random.PRNGKey(0)),
+    )
+    opt = fateavatar_optimizers({})
+    maint = MaintenanceConfig()   # densify 3000 / prune 2000 / reset 60000
+
+    # The benched span: warmup 5900->5960, five 30-step timed windows
+    # 5960->6110. The densify(3000) + prune(2000) EVENTS at step 6000 fire
+    # inside timed window 2, on top of the every-step stat accumulation.
+    START, n, windows = 5900, 30, 5
+    span_end = START + 2 * n + windows * n + 10
+
+    # ---- Phase A: scout the span with robust caps, measure peak occupancy
+    from fateavatar_tpu.render.autosize import make_occupancy_probe, size_caps
+
+    robust_cfg = base_cfg.replace(instance_budget=0,      # 4N auto
+                                  max_tiles_per_gaussian=16,
+                                  binning="onesort")
+    scout_step = make_train_step(model, loss_fn, opt, maint, robust_cfg)
+    probe = make_occupancy_probe(model, frame.camera)
+    sts = init_train_state(params, state, opt)
+    sts = sts.replace(step=jnp.asarray(START, sts.step.dtype))
+    peak_total = peak_maxt = peak_big = 0
+    i = int(START)
+    while i < span_end:
+        t, m, nb = probe(sts.params, sts.state, frame.expression,
+                         frame.flame_pose)
+        peak_total = max(peak_total, int(jax.device_get(t)))
+        peak_maxt = max(peak_maxt, int(jax.device_get(m)))
+        peak_big = max(peak_big, int(jax.device_get(nb)))
+        for _ in range(10):
+            sts, saux = scout_step(sts, frame)
+        jax.block_until_ready(saux["loss"])
+        if int(saux["overflow"]) > 0:
+            print(f"[warn] scout overflow={int(saux['overflow'])} even at "
+                  "robust caps", file=sys.stderr)
+        i += 10
+    del sts
+
+    from fateavatar_tpu.render.binning import tile_grid
+
+    grid = tile_grid(res, res)
+    render_cfg = size_caps(peak_total, peak_maxt, capacity, grid[0] * grid[1],
+                           base_cfg, big_count=peak_big)
+    print(f"[autosize] scouted peak: {peak_total} instances, max {peak_maxt} "
+          f"tiles/gaussian, {peak_big} big (>4 tiles) -> "
+          f"instance_budget={render_cfg.instance_budget} "
+          f"({render_cfg.instance_budget / capacity:.2f}N), "
+          f"R={render_cfg.max_tiles_per_gaussian}, "
+          f"tail_k={render_cfg.tail_k}", file=sys.stderr)
+
+    step = make_train_step(model, loss_fn, opt, maint, render_cfg)
+    raw_step = make_train_step(model, loss_fn, opt, maint, render_cfg,
+                               return_raw=True)
+
     import functools as _ft
 
-    @_ft.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
-    def scan_steps(ts, k):
-        def body(ts, _):
-            ts, aux = raw_step(ts, frame)
-            return ts, aux["overflow"]
-        return jax.lax.scan(body, ts, None, length=k)
+    def build_runner(raw_step):
+        @_ft.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+        def scan_steps(ts, k):
+            def body(ts, _):
+                ts, aux = raw_step(ts, frame)
+                return ts, aux["overflow"]
+            return jax.lax.scan(body, ts, None, length=k)
 
-    def run(n):
-        nonlocal ts
-        ts, ovf = scan_steps(ts, n)
-        jax.block_until_ready(ovf)
-        return {"overflow": jnp.sum(ovf)}
+        state_box = {}
 
-    def run_dispatch(n):
-        nonlocal ts
-        for _ in range(n):
-            ts, aux = step(ts, frame)
-        jax.block_until_ready(aux["loss"])
-        return aux
+        def run(k):
+            ts, ovf = scan_steps(state_box["ts"], k)
+            jax.block_until_ready(ovf)
+            state_box["ts"] = ts
+            return {"overflow": int(jnp.sum(ovf))}
 
-    run(3)       # warmup / compile (scan program)
-    run_dispatch(3)
-    n = 30
-    its = None
-    # best of 3: the remote-TPU tunnel adds run-to-run slow-side variance
-    # of ~10-20% (and occasionally drops execution entirely, returning a
-    # physically impossible >1000 it/s) — the max of three timed windows is
-    # the stable throughput estimate
-    for attempt in range(4):
-        t0 = time.perf_counter()
-        aux = run(n)
-        dt = time.perf_counter() - t0
-        cur = n / dt
-        if cur >= 1000:
-            print(f"[warn] implausible timing ({cur:.0f} it/s), retrying",
-                  file=sys.stderr)
-            time.sleep(2)
-            continue
-        ov = int(aux["overflow"])
-        if ov > 0 and (budget_mult or max_tiles < 16):
-            # tight budget / rect cap must not drop instances
-            print(f"[warn] overflow={ov} at instance_budget "
-                  f"{budget_mult}N R={max_tiles}; re-running with the "
-                  f"robust 4N/R16 settings", file=sys.stderr)
-            return main(budget_mult=0, max_tiles=16)
-        its = cur if its is None else max(its, cur)
-    if its is None:
-        # every window hit the tunnel-drop condition; report 0 rather than
-        # a physically impossible number
+        run.box = state_box
+        return run
+
+    # ---- Phase B: timed run at the scouted caps ----
+    run = build_runner(raw_step)
+    ts = init_train_state(params, state, opt)
+    run.box["ts"] = ts.replace(step=jnp.asarray(START, ts.step.dtype))
+    run(n)   # compiles the k=n scan program AND advances 5900->5930
+    run(n)   # plain warmup 5930->5960
+    vals, aux = _time_windows(run, n)   # 5960->6110: events in window 2
+    if aux is not None and aux["overflow"] > 0:
+        print(f"[warn] overflow={aux['overflow']} in benched span "
+              "(scout-sized caps exceeded — should be impossible)",
+              file=sys.stderr)
+    if not vals:
         print("[warn] no plausible timing window; reporting 0",
               file=sys.stderr)
         its = 0.0
+    else:
+        its = statistics.median(vals)
+        print(f"[windows] {[f'{v:.1f}' for v in vals]} -> median "
+              f"{its:.1f}, max {max(vals):.1f} it/s", file=sys.stderr)
 
-    # secondary (stderr): per-dispatch stepping (the non-scan trainer path;
-    # includes the tunnel's per-dispatch overhead)
+    # ---- secondary: per-dispatch stepping (non-scan trainer path; pays
+    # the tunnel's per-dispatch overhead) ----
+    dts = init_train_state(params, state, opt)
+    for _ in range(3):
+        dts, daux = step(dts, frame)
+    jax.block_until_ready(daux["loss"])
     t0 = time.perf_counter()
-    run_dispatch(n)
+    for _ in range(n):
+        dts, daux = step(dts, frame)
+    jax.block_until_ready(daux["loss"])
     d_its = n / (time.perf_counter() - t0)
-    print(f"[secondary] per-dispatch train step: {d_its:.1f} it/s",
-          file=sys.stderr)
+    print(f"[secondary] per-dispatch train step (reference loss): "
+          f"{d_its:.1f} it/s", file=sys.stderr)
 
-    # secondary metric (stderr): forward-only render FPS (BASELINE config 1/2)
-    import jax as _jax
+    # ---- secondary: the round-1 headline config (rgb + DSSIM 0.25), for
+    # cross-round comparability ----
+    dssim_loss = FateAvatarLoss(
+        FateAvatarLossConfig(rgb_weight=1.0, dssim_weight=0.25))
+    raw_dssim = make_train_step(model, dssim_loss, opt, maint, render_cfg,
+                                return_raw=True)
+    run2 = build_runner(raw_dssim)
+    ts2 = init_train_state(params, state, opt)
+    run2.box["ts"] = ts2.replace(step=jnp.asarray(START, ts2.step.dtype))
+    run2(n)   # compile (k=n) + advance
+    vals2, _ = _time_windows(run2, n, attempts=3)
+    if vals2:
+        print(f"[secondary] train step rgb+dssim (round-1 headline "
+              f"config): {statistics.median(vals2):.1f} it/s",
+              file=sys.stderr)
 
-    fwd = _jax.jit(lambda p, s, e, fp: __import__(
-        "fateavatar_tpu.models", fromlist=["fateavatar_forward"]
-    ).fateavatar_forward(
+    # ---- secondary: forward-only render FPS (BASELINE config 1/2) ----
+    from fateavatar_tpu.models import fateavatar_forward
+
+    fwd = jax.jit(lambda p, s, e, fp: fateavatar_forward(
         model, p, s, e, fp, frame.camera,
         render_cfg=render_cfg.replace(bwd_slots=False),
     )["rgb_image"])
-    img = fwd(ts.params, ts.state, frame.expression, frame.flame_pose)
+    img = fwd(params, state, frame.expression, frame.flame_pose)
     img.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(30):
-        img = fwd(ts.params, ts.state, frame.expression, frame.flame_pose)
+        img = fwd(params, state, frame.expression, frame.flame_pose)
     img.block_until_ready()
     fps = 30 / (time.perf_counter() - t0)
     print(f"[secondary] forward-only render: {fps:.1f} fps "
-          f"({1000/fps:.1f} ms/frame)", file=sys.stderr)
-
-    # secondary (stderr): full reference loss incl. the VGG16 perceptual
-    # term (random weights — identical FLOPs to pretrained; the zero-egress
-    # environment has none). The headline metric stays rgb+dssim for
-    # comparability across rounds.
-    from fateavatar_tpu.train.losses import vgg16_random_params
-
-    vgg_loss = FateAvatarLoss(FateAvatarLossConfig(
-        rgb_weight=1.0, dssim_weight=0.25, vgg_weight=0.1,
-    ), vgg_params=vgg16_random_params(_jax.random.PRNGKey(0)))
-    vstep = make_train_step(
-        model, vgg_loss, opt,
-        MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
-                          opacity_reset_interval=10**9),
-        render_cfg,
-    )
-    vts = init_train_state(params, state, opt)
-    for _ in range(3):
-        vts, vaux = vstep(vts, frame)
-    _jax.block_until_ready(vaux["loss"])
-    t0 = time.perf_counter()
-    for _ in range(30):
-        vts, vaux = vstep(vts, frame)
-    _jax.block_until_ready(vaux["loss"])
-    vits = 30 / (time.perf_counter() - t0)
-    print(f"[secondary] train step with VGG16 perceptual term: "
-          f"{vits:.1f} it/s", file=sys.stderr)
+          f"({1000 / fps:.1f} ms/frame)", file=sys.stderr)
 
     result = {
         "metric": (
-            f"FateAvatar train-step it/s (512x512, {tex*tex} splats, "
-            f"fwd+bwd rasterize + Adam, scanned steps, "
+            f"FateAvatar train-step it/s (512x512, {tex * tex} splats, "
+            f"reference loss rgb+VGG16(0.1), maintenance live, autosized "
+            f"binning caps, scanned steps, median of windows, "
             f"{backend}/{render_cfg.resolve_impl()})"
         ),
         "value": round(its, 3),

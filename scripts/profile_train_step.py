@@ -43,17 +43,34 @@ def build_step():
                               t_cutoff=float(os.environ.get("PROF_CUTOFF", "0")),
                               bwd_slots=bool(int(os.environ.get("PROF_SLOTS", "0"))),
                               bwd_sorted_scatter=bool(int(os.environ.get("PROF_SORTED", "0"))),
-                              layout=os.environ.get("PROF_LAYOUT", "compact"))
-    loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
-                                                  dssim_weight=0.25))
+                              layout=os.environ.get("PROF_LAYOUT", "compact"),
+                              binning=os.environ.get("PROF_BINNING", "onesort"),
+                              tail_k=int(os.environ.get("PROF_TAIL_K", "0")))
+    if int(os.environ.get("PROF_VGG", "0")):
+        from fateavatar_tpu.train.losses import vgg16_random_params
+
+        loss_fn = FateAvatarLoss(
+            FateAvatarLossConfig(
+                rgb_weight=1.0, vgg_weight=0.1,
+                vgg_dtype=os.environ.get("PROF_VGG_DTYPE", "bfloat16") or None),
+            vgg_params=vgg16_random_params(jax.random.PRNGKey(0)))
+    else:
+        loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
+                                                      dssim_weight=0.25))
     opt = fateavatar_optimizers({})
-    step = make_train_step(
-        model, loss_fn, opt,
-        MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
-                          opacity_reset_interval=10**9),
-        render_cfg,
-    )
+    if int(os.environ.get("PROF_MAINT", "0")):
+        maint = MaintenanceConfig()   # reference cadence, events in-graph
+    else:
+        maint = MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
+                                  opacity_reset_interval=10**9)
+    raw = bool(int(os.environ.get("PROF_SCAN", "0")))
+    step = make_train_step(model, loss_fn, opt, maint, render_cfg,
+                           return_raw=raw)
     ts = init_train_state(params, state, opt)
+    if int(os.environ.get("PROF_STEP0", "0")):
+        import jax.numpy as _jnp
+        ts = ts.replace(step=_jnp.asarray(
+            int(os.environ["PROF_STEP0"]), ts.step.dtype))
     rng = np.random.default_rng(0)
     frame = Frame(
         expression=jnp.zeros((6,), jnp.float32),
@@ -73,16 +90,35 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/op_stats.json"
     step, ts, frame = build_step()
 
-    # warm up / compile
-    for _ in range(3):
-        ts, aux = step(ts, frame)
-    jax.block_until_ready(aux["loss"])
+    if int(os.environ.get("PROF_SCAN", "0")):
+        # profile the SCANNED multi-step program (the bench/scan-epoch path:
+        # one dispatch running `steps` chained steps inside lax.scan)
+        import functools
 
-    trace_dir = "/tmp/jaxtrace_step"
-    with jax.profiler.trace(trace_dir):
-        for _ in range(steps):
+        @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+        def scan_steps(ts, k):
+            def body(ts, _):
+                ts, aux = step(ts, frame)
+                return ts, aux["overflow"]
+            return jax.lax.scan(body, ts, None, length=k)
+
+        ts, ovf = scan_steps(ts, steps)          # compile + warm
+        jax.block_until_ready(ovf)
+        trace_dir = "/tmp/jaxtrace_step"
+        with jax.profiler.trace(trace_dir):
+            ts, ovf = scan_steps(ts, steps)
+            jax.block_until_ready(ovf)
+    else:
+        # warm up / compile
+        for _ in range(3):
             ts, aux = step(ts, frame)
         jax.block_until_ready(aux["loss"])
+
+        trace_dir = "/tmp/jaxtrace_step"
+        with jax.profiler.trace(trace_dir):
+            for _ in range(steps):
+                ts, aux = step(ts, frame)
+            jax.block_until_ready(aux["loss"])
 
     xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
     xplanes.sort(key=os.path.getmtime)
