@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 TILE = 16  # pixels per tile edge (config.h:15-17 BLOCK_X/BLOCK_Y)
 
@@ -176,7 +177,8 @@ def build_tile_lists(
 
 @partial(jax.jit, static_argnames=(
     "grid", "max_tiles_per_gaussian", "instance_budget", "chunk", "sort_mode",
-    "count_block", "return_slots", "relayout", "layout"))
+    "count_block", "return_slots", "relayout", "layout", "tail_r0",
+    "tail_k"))
 def build_instance_lists(
     mean2d: jax.Array,
     depth: jax.Array,
@@ -190,6 +192,8 @@ def build_instance_lists(
     return_slots: bool = False,
     relayout: str = "scatter",
     layout: str = "aligned",
+    tail_r0: int = 4,
+    tail_k: int = 0,
 ) -> InstanceLists:
     """Flat instance binning for the instance-range blend kernel: the same
     depth-sort + candidate expansion + compaction + stable tile sort as
@@ -299,7 +303,7 @@ def build_instance_lists(
             overflow=dropped, grid=grid,
         )
 
-    if sort_mode in ("stable", "count", "onesort"):
+    if sort_mode in ("stable", "count", "onesort", "twotier"):
         # depth-argsort gaussians upfront, then ONE stable tile pass.
         # The three reordered per-gaussian fields ride ONE gather (row
         # gathers lower to slow VMEM-bound custom fusions on TPU; one
@@ -325,9 +329,25 @@ def build_instance_lists(
     rmin_x, rmin_y, rmax_x, rmax_y = gaussian_rect(mean2d_s, radius_s, grid)
     rect_w = jnp.maximum(rmax_x - rmin_x, 1)
     n_tiles_touched = jnp.where(visible_s, rect_w * (rmax_y - rmin_y), 0)
-    dropped = jnp.sum(jnp.maximum(n_tiles_touched - R, 0))
 
-    touched_capped = jnp.minimum(n_tiles_touched, R)
+    if sort_mode == "twotier":
+        # Per-gaussian caps: everyone gets R0; the K largest-footprint
+        # gaussians get the full R. Occupancy is heavy-tailed (measured
+        # ~1.8 mean tiles/gaussian with a max of ~10 on trained avatars),
+        # so this shrinks the sorted candidate array from N*R to
+        # N*R0 + K*(R-R0) — the full-candidate sort and the [R, N]
+        # expansion arithmetic both scale with it.
+        R0 = min(tail_r0, R)
+        K = tail_k or max(256, n // 16)
+        K = min(K, n)
+        sel_idx = jnp.argsort(-n_tiles_touched)[:K]
+        sel = jnp.zeros((n,), bool).at[sel_idx].set(True, mode="drop")
+        capr = jnp.where(sel, R, R0)
+        touched_capped = jnp.minimum(n_tiles_touched, capr)
+        dropped = jnp.sum(n_tiles_touched - touched_capped)
+    else:
+        dropped = jnp.sum(jnp.maximum(n_tiles_touched - R, 0))
+        touched_capped = jnp.minimum(n_tiles_touched, R)
 
     # exact compaction offsets from an N-length cumsum (the CUDA
     # InclusiveSum over tiles_touched, rasterizer_impl.cu:277) — far
@@ -336,7 +356,7 @@ def build_instance_lists(
     n_valid = jnp.sum(touched_capped)
     dropped = dropped + jnp.maximum(n_valid - M, 0)
 
-    if sort_mode != "onesort":
+    if sort_mode not in ("onesort", "twotier"):
         r_lin = jnp.arange(R, dtype=jnp.int32)[None, :]
         cand_x = rmin_x[:, None] + r_lin % rect_w[:, None]
         cand_y = rmin_y[:, None] + r_lin // rect_w[:, None]
@@ -355,6 +375,68 @@ def build_instance_lists(
         comp_gauss = jnp.full((M + 1,), -1, jnp.int32).at[dest].set(
             gauss_idx.astype(jnp.int32), mode="drop")[:M]
 
+    if sort_mode == "twotier":
+        if return_slots:
+            raise NotImplementedError("slots not supported with twotier")
+        # rank = position in depth order; it rides INSIDE the sort key so
+        # the main and tail candidate groups interleave correctly:
+        # key = tile * RANK_LIM + rank is one int32 (single-key unstable
+        # sort — (tile, rank) pairs are unique per gaussian)
+        rank_lim = 1 << max(int(np.ceil(np.log2(max(n, 2)))), 1)
+        if (num_tiles + 1) * rank_lim >= 2**31:
+            raise NotImplementedError(
+                f"twotier packed key overflows int32 at n={n}, "
+                f"num_tiles={num_tiles} — use binning='onesort'")
+
+        def _tier(r0, r1, rect_w_t, rmin_x_t, rmin_y_t, capped_t, offs_t,
+                  rank_t, gauss_t):
+            """Candidate keys/payload for ranks [r0, r1) of one tier.
+            All *_t inputs are [Nt] vectors; returns flat [len, (r1-r0)*Nt]."""
+            r_col = jnp.arange(r0, r1, dtype=jnp.int32)[:, None]
+            recip = 1.0 / rect_w_t[None, :].astype(jnp.float32)
+            q = jnp.floor(
+                (r_col.astype(jnp.float32) + 0.5) * recip).astype(jnp.int32)
+            cand_x = rmin_x_t[None, :] + (r_col - q * rect_w_t[None, :])
+            cand_y = rmin_y_t[None, :] + q
+            valid = (r_col < capped_t[None, :]) & (
+                offs_t[None, :] + r_col < M)
+            tile_id = jnp.where(valid, cand_y * tx + cand_x, num_tiles)
+            key = tile_id * rank_lim + rank_t[None, :]
+            gauss = jnp.where(valid, gauss_t[None, :], -1)
+            return (key.T.reshape(-1).astype(jnp.int32),
+                    gauss.T.reshape(-1).astype(jnp.int32))
+
+        rank_all = jnp.arange(n, dtype=jnp.int32)
+        key_main, gauss_main = _tier(
+            0, R0, rect_w, rmin_x, rmin_y, touched_capped, offsets,
+            rank_all, order)
+
+        # ONE row-gather of every tail-tier per-gaussian field
+        tail_packed = jnp.stack([
+            rect_w, rmin_x, rmin_y, touched_capped, offsets, rank_all, order,
+        ], axis=0).T[sel_idx]                                   # [K, 7]
+        key_tail, gauss_tail = _tier(
+            R0, R,
+            tail_packed[:, 0], tail_packed[:, 1], tail_packed[:, 2],
+            tail_packed[:, 3], tail_packed[:, 4], tail_packed[:, 5],
+            tail_packed[:, 6])
+
+        keys = jnp.concatenate([key_main, key_tail])
+        gauss = jnp.concatenate([gauss_main, gauss_tail])
+        sort_keys, sort_gauss = jax.lax.sort(
+            (keys, gauss), num_keys=1, is_stable=False)
+        S = keys.shape[0]
+        keep_m = min(M, S)
+        sort_keys = sort_keys[:keep_m]
+        sort_gauss = sort_gauss[:keep_m]
+        if keep_m < M:
+            sort_keys = jnp.pad(sort_keys, (0, M - keep_m),
+                                constant_values=num_tiles * rank_lim)
+            sort_gauss = jnp.pad(sort_gauss, (0, M - keep_m),
+                                 constant_values=-1)
+        sort_tiles = sort_keys // rank_lim
+        sort_m = None
+
     if sort_mode == "onesort":
         # Profiling on TPU v5e shows scatters lower to a SERIAL per-update
         # loop (~7 ms for the 1.1M-candidate compaction scatter) while
@@ -372,14 +454,16 @@ def build_instance_lists(
         # candidate order the stable sort needs is restored by ONE
         # transpose per sort operand.
         r_col = jnp.arange(R, dtype=jnp.int32)[:, None]     # [R, 1]
-        # r // w and r % w for r < R without integer division (int32 div by
-        # a VECTOR lowers to slow multi-pass sequences on TPU): the
-        # quotient is how many of w, 2w, ... (R-1)w are <= r — R-1 fusable
-        # compares instead
+        # r // w for r < R without integer division (int32 div by a VECTOR
+        # lowers to slow multi-pass sequences on TPU): one f32 reciprocal
+        # multiply. floor((r + 0.5) * (1/w)) is exact for integer r, w in
+        # this range — (r + 0.5)/w sits at least 0.5/w from any integer,
+        # while the reciprocal's rounding error is ~1e-7 * r. (The previous
+        # R-1 fused-compare loop was O(R^2 N): 1.03 ms/step at R=12.)
         w_row = rect_w[None, :]
-        q = jnp.zeros((R, n), jnp.int32)
-        for k in range(1, R):
-            q = q + (r_col >= k * w_row).astype(jnp.int32)
+        recip = 1.0 / w_row.astype(jnp.float32)
+        q = jnp.floor(
+            (r_col.astype(jnp.float32) + 0.5) * recip).astype(jnp.int32)
         cand_x = rmin_x[None, :] + (r_col - q * w_row)      # [R, N]
         cand_y = rmin_y[None, :] + q
         valid = r_col < touched_capped[None, :]

@@ -47,6 +47,12 @@ class RenderConfig:
     # 'gather' — all bit-exact, kept A/B-able
     binning: str = struct.field(pytree_node=False, default="onesort")
     count_block: int = struct.field(pytree_node=False, default=256)
+    # 'twotier' binning: every gaussian expands at most tail_r0 tiles; only
+    # the tail_k largest-footprint gaussians expand to the full R cap
+    # (0 = max(256, N // 16)). Shrinks the sorted candidate array from N*R
+    # to N*r0 + K*(R - r0) on heavy-tailed occupancy distributions.
+    tail_r0: int = struct.field(pytree_node=False, default=4)
+    tail_k: int = struct.field(pytree_node=False, default=0)
     # gradient-accumulation strategy for the instance gather's transpose.
     # All three are bit-exact; A/B on the TPU v5e chained train step keeps
     # XLA's plain scatter-add as default (17.0 it/s):
@@ -63,7 +69,7 @@ class RenderConfig:
     # instance-array layout: 'compact' (default — raw unaligned ranges, the
     # kernel masks window heads/tails by position: no chunk padding, no
     # re-layout pass; 18.6 -> 20.3 it/s) or 'aligned' (chunk-padded
-    # per-tile ranges). Requires binning 'onesort'/'sort'/'twokey'.
+    # per-tile ranges). Requires binning 'onesort'/'sort'/'twokey'/'twotier'.
     layout: str = struct.field(pytree_node=False, default="compact")
     # pallas kernel flavour: 'instances' = CUDA-layout flat ranges (no per-
     # tile cap, less data movement); 'tiles' = dense [T, K] lists
@@ -227,7 +233,7 @@ def render(
 
         sort_mode = (config.binning
                      if config.binning in ("twokey", "count", "gather",
-                                           "onesort")
+                                           "onesort", "twotier")
                      else "stable")
         ilists = binning.build_instance_lists(
             (jax.lax.stop_gradient(mx), jax.lax.stop_gradient(my)),
@@ -242,6 +248,8 @@ def render(
                           and sort_mode in ("stable", "onesort")),
             relayout=config.relayout,
             layout=config.layout,
+            tail_r0=config.tail_r0,
+            tail_k=config.tail_k,
         )
         n = mx.shape[0]
         # [10, N] stack of lane-major vectors (no relayout), ONE transpose

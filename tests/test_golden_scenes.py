@@ -48,6 +48,9 @@ def variant_configs(n):
         "pallas_aligned_sort": RenderConfig(
             impl="pallas_interpret", kernel="instances", layout="aligned",
             binning="sort", instance_budget=_budget(n)),
+        "pallas_twotier": RenderConfig(
+            impl="pallas_interpret", kernel="instances", binning="twotier",
+            tail_r0=4, tail_k=n, instance_budget=_budget(n)),
     }
 
 
@@ -226,3 +229,37 @@ class TestTieOrder:
         out_tie = np.asarray(render(cam, g, bg, config=cfg)["render"])
         # index order and bit order agree here (0 in front either way)
         np.testing.assert_allclose(out_bit, out_tie, atol=1e-4)
+
+
+class TestTwoTier:
+    """'twotier' binning: only the K largest-footprint gaussians expand
+    past tail_r0 tiles; exceeding K drops instances VISIBLY (overflow)."""
+
+    def test_small_k_reports_overflow(self):
+        cam, g, bg = SCENES["sh0_basic"]()
+        n = g.xyz.shape[0]
+        full = render(cam, g, bg, config=variant_configs(n)["pallas_twotier"])
+        assert int(full["overflow"]) == 0
+        tight = render(cam, g, bg, config=RenderConfig(
+            impl="pallas_interpret", kernel="instances", binning="twotier",
+            tail_r0=1, tail_k=1, instance_budget=_budget(n)))
+        assert int(tight["overflow"]) > 0
+
+    def test_tail_grads_match(self):
+        """Gradients through tail-expanded (big) gaussians equal the
+        single-tier path's."""
+        cam, g, bg = SCENES["aniso"]()   # needles -> wide rects
+        n = g.xyz.shape[0]
+        cfg_ref = variant_configs(n)["pallas_compact"]
+        cfg_tt = RenderConfig(
+            impl="pallas_interpret", kernel="instances", binning="twotier",
+            tail_r0=2, tail_k=n, instance_budget=_budget(n))
+
+        def loss(xyz, cfg):
+            o = render(cam, g.replace(xyz=xyz), bg, config=cfg)
+            return jnp.mean(o["render"] ** 2)
+
+        g_ref = np.asarray(jax.grad(lambda x: loss(x, cfg_ref))(g.xyz))
+        g_tt = np.asarray(jax.grad(lambda x: loss(x, cfg_tt))(g.xyz))
+        scale = max(1e-3, np.abs(g_ref).max())
+        np.testing.assert_allclose(g_tt / scale, g_ref / scale, atol=3e-4)
