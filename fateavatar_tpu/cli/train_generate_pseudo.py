@@ -76,7 +76,15 @@ def main(argv=None):
         from fateavatar_tpu.completion.eg3d.provider import EG3DPseudoProvider
         from fateavatar_tpu.train.losses import load_vgg16_from_torch
 
-        g_params, g_cfg = load_eg3d_from_torch(args.eg3d_weights)
+        if args.eg3d_weights.endswith(".pkl"):
+            # the official SphereHead/PanoHead pickle, ingested directly
+            # (no source-repo import; reference train/completion.py:592)
+            from fateavatar_tpu.completion.eg3d.pkl_ingest import (
+                load_eg3d_from_pkl,
+            )
+            g_params, g_cfg, _ = load_eg3d_from_pkl(args.eg3d_weights)
+        else:
+            g_params, g_cfg = load_eg3d_from_torch(args.eg3d_weights)
         vgg = None
         if cfg.assets.vgg16_weights_path:
             vgg = load_vgg16_from_torch(cfg.assets.vgg16_weights_path)
