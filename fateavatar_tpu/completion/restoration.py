@@ -96,9 +96,12 @@ def _linear(p, name, x):
 
 
 def _resize(x, factor):
+    """torch F.interpolate(bilinear, align_corners=False) semantics —
+    NO antialiasing on downscale (torch doesn't; jax.image.resize defaults
+    to antialias=True, which diverges at factor < 1)."""
     n, h, w, c = x.shape
     return jax.image.resize(x, (n, int(h * factor), int(w * factor), c),
-                            "linear")
+                            "linear", antialias=False)
 
 
 def _modulated_conv(p, name, x, style, demodulate=True):

@@ -44,7 +44,13 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 # primitive layers (inference only; BN folded at runtime)
 # ---------------------------------------------------------------------------
 
-def _conv(x, w, stride=1, padding="SAME"):
+def _conv(x, w, stride=1, padding=None):
+    """torch conv2d semantics: SYMMETRIC padding k//2. XLA's string "SAME"
+    pads (0, 1) for stride-2 even inputs where torch pads (1, 1) — every
+    ResNet18 downsampling conv would shift one pixel."""
+    if padding is None:
+        kh, kw = w.shape[0], w.shape[1]
+        padding = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
