@@ -24,14 +24,20 @@ def main(argv=None):
                         help="exported benchmark layout (see benchmark/nersemble.py)")
     parser.add_argument("--participants", nargs="+", required=True)
     parser.add_argument("--train_serial", type=str, default=None)
+    parser.add_argument("--train_sequences", nargs="*", default=None,
+                        help="default: every sequence that has images")
+    parser.add_argument("--test_sequences", nargs="*", default=None,
+                        help="default: every sequence (the reference packs "
+                        "SEQUENCES_TEST x hold-out+train serials)")
     parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--crf", type=int, default=14)
     parser.add_argument("--out", type=str, default="./nersemble_submission")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
     from fateavatar_tpu.benchmark.nersemble import (
         DEFAULT_HOLD_OUT_SERIALS, DEFAULT_TRAIN_SERIAL,
-        NersembleBenchmarkDataset, render_hold_out_serials,
+        NersembleBenchmarkDataset, render_submission,
     )
     from fateavatar_tpu.cli import common
     from fateavatar_tpu.flame import load_flame_pickle, make_flame
@@ -44,9 +50,19 @@ def main(argv=None):
     train_serial = args.train_serial or DEFAULT_TRAIN_SERIAL
 
     for participant in args.participants:
+        seq_root = os.path.join(args.root, participant, "sequences")
+        if args.train_sequences is not None:
+            train_seqs = args.train_sequences
+        elif os.path.isdir(seq_root):
+            # train on every sequence that carries exported images
+            train_seqs = sorted(
+                s for s in os.listdir(seq_root)
+                if os.path.isdir(os.path.join(seq_root, s, "images")))
+        else:
+            train_seqs = None   # legacy single-sequence layout
         ds = NersembleBenchmarkDataset(
             args.root, participant, train_serial, cfg.dataset.img_res,
-            mode="train",
+            sequence_list=train_seqs, mode="train",
         )
         flame_data = load_flame_pickle(cfg.assets.flame_model_path)
         flame = make_flame(
@@ -74,13 +90,24 @@ def main(argv=None):
         )
         trainer.train(args.epochs)
 
-        out_dir = os.path.join(args.out, participant)
-        written = render_hold_out_serials(
+        if args.test_sequences is not None:
+            test_seqs = args.test_sequences
+        elif os.path.isdir(seq_root):
+            test_seqs = sorted(os.listdir(seq_root))
+        else:
+            test_seqs = [None]
+        # the reference pack loop: test sequences x (hold-outs + train
+        # serial), CRF-14 mp4s (run_nersemble_benchmark.py:101-137)
+        written = render_submission(
             model, trainer.ts.params, trainer.ts.state,
-            args.root, participant, DEFAULT_HOLD_OUT_SERIALS,
-            cfg.dataset.img_res, out_dir, common.render_config(cfg),
+            args.root, participant,
+            sequences=[s for s in test_seqs if s is not None] or [],
+            serials=[*DEFAULT_HOLD_OUT_SERIALS, train_serial],
+            img_res=cfg.dataset.img_res, submit_dir=args.out,
+            render_cfg=common.render_config(cfg), crf=args.crf,
         )
-        print(f"[{participant}] wrote {len(written)} hold-out videos -> {out_dir}")
+        print(f"[{participant}] wrote {len(written)} submission videos "
+              f"-> {args.out}")
 
 
 if __name__ == "__main__":

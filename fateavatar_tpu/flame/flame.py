@@ -141,6 +141,37 @@ def lbs(
     return verts, pose_feature, A
 
 
+def euler_xyz_matrix(euler: jax.Array) -> jax.Array:
+    """Intrinsic-XYZ euler angles [..., 3] -> rotation matrices [..., 3, 3]
+    (scipy 'XYZ' order — the convention of the NeRSemble tracking's
+    model-to-world pose, benchmark/nersemble/FLAME.py:262-275)."""
+    cx, cy, cz = (jnp.cos(euler[..., i]) for i in range(3))
+    sx, sy, sz = (jnp.sin(euler[..., i]) for i in range(3))
+    zero = jnp.zeros_like(cx)
+    one = jnp.ones_like(cx)
+    rx = jnp.stack([one, zero, zero,
+                    zero, cx, -sx,
+                    zero, sx, cx], -1).reshape(*cx.shape, 3, 3)
+    ry = jnp.stack([cy, zero, sy,
+                    zero, one, zero,
+                    -sy, zero, cy], -1).reshape(*cx.shape, 3, 3)
+    rz = jnp.stack([cz, -sz, zero,
+                    sz, cz, zero,
+                    zero, zero, one], -1).reshape(*cx.shape, 3, 3)
+    return rx @ ry @ rz
+
+
+def apply_world_transform(verts: jax.Array, wt: jax.Array) -> jax.Array:
+    """Model-to-world similarity transform of posed vertices.
+
+    ``wt`` [B, 7] = (euler_xyz[3], translation[3], scale[1]); verts
+    [B, V, 3]. The scale multiplies the ROTATION block only — translation
+    is unscaled (benchmark/nersemble/FLAME.py:262-275: the tracking's
+    4x4 has its rotation block scaled in place)."""
+    R = euler_xyz_matrix(wt[:, :3]) * wt[:, 6][:, None, None]
+    return jnp.einsum("bvk,bjk->bvj", verts, R) + wt[:, None, 3:6]
+
+
 def flame_forward(
     model: FlameModel,
     expression: jax.Array,
@@ -148,11 +179,17 @@ def flame_forward(
     delta_shapedirs: Optional[jax.Array] = None,
     delta_posedirs: Optional[jax.Array] = None,
     delta_vertex: Optional[jax.Array] = None,
+    world_transform: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """FLAME morphing, with optional learned deltas
     (FLAME.py:131-204, forward / forward_with_delta_blendshape unified).
 
-    expression [B, n_exp], full_pose [B, 15].
+    expression [B, n_exp], full_pose [B, 15]. ``world_transform`` [B, 7]
+    (euler_xyz, translation, scale) applies the tracking's model-to-world
+    similarity AFTER posing — the NeRSemble-benchmark variant, where the
+    global head pose lives outside FLAME (benchmark/nersemble/
+    fateavatar.py:174-230 passes rotation/translation/scale separately and
+    zeroes the global-rotation slot of full_pose).
     """
     B = expression.shape[0]
     betas = jnp.concatenate(
@@ -169,10 +206,13 @@ def flame_forward(
     if delta_posedirs is not None:
         posedirs = posedirs + delta_posedirs
     parents = tuple(int(p) for p in jax.device_get(model.parents))
-    return lbs(
+    verts, joints, pose_feature = lbs(
         betas, full_pose, v_template, shapedirs, posedirs,
         model.j_regressor, parents, model.lbs_weights,
     )
+    if world_transform is not None:
+        verts = apply_world_transform(verts, world_transform)
+    return verts, joints, pose_feature
 
 
 def vertices2landmarks(

@@ -203,21 +203,29 @@ def build_gaussians(
     state: FateAvatarState,
     expression: jax.Array,   # [n_exp]
     flame_pose: jax.Array,   # [15]
+    world_transform=None,    # [7] optional model-to-world (euler, t, scale)
 ):
     """FLAME-drive the splats (the math of FateAvatar.forward,
     fateavatar.py:210-258): verts -> per-face frame/scale/normal -> gather
     per splat -> barycentric position + shell offset; quaternion compose;
     log-scale shift by the face scale ratio.
 
+    ``world_transform`` applies the NeRSemble tracking's model-to-world
+    similarity to the posed vertices (benchmark/nersemble/
+    fateavatar.py:206-230 — both the delta and original FLAME passes).
+
     Returns (gaussians, verts, verts_orig)."""
     cfg = model.cfg
+    wt = None if world_transform is None else world_transform[None]
     verts, _, _ = flame_forward(
         model.flame, expression[None], flame_pose[None],
         delta_shapedirs=params.delta_shapedirs if cfg.delta_blendshape else None,
         delta_posedirs=params.delta_posedirs if cfg.delta_blendshape else None,
         delta_vertex=params.delta_vertex if cfg.delta_vertex else None,
+        world_transform=wt,
     )
-    verts_orig, _, _ = flame_forward(model.flame, expression[None], flame_pose[None])
+    verts_orig, _, _ = flame_forward(model.flame, expression[None],
+                                     flame_pose[None], world_transform=wt)
     v = verts[0]
 
     face_orien, face_scaling = compute_face_orientation(v, model.faces, return_scale=True)
@@ -272,13 +280,15 @@ def fateavatar_forward(
     bg_color: Optional[jax.Array] = None,
     render_cfg: RenderConfig = RenderConfig(),
     means2d_probe: Optional[jax.Array] = None,
+    world_transform: Optional[jax.Array] = None,
 ):
     """One frame forward (fateavatar.py:196-295). Returns the output dict:
     rgb_image [H,W,3], scale, raw_rot, viewspace_points, visibility_filter,
     radii, verts, verts_orig, faces."""
     bg = model.bg_color if bg_color is None else bg_color
     gaussians, verts, verts_orig = build_gaussians(
-        model, params, state, expression, flame_pose
+        model, params, state, expression, flame_pose,
+        world_transform=world_transform,
     )
     out = render(
         camera, gaussians, bg,

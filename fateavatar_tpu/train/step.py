@@ -48,6 +48,10 @@ class Frame:
     camera: Camera
     rgb: jax.Array          # [H, W, 3]
     bg_color: jax.Array     # [3]
+    # optional model-to-world similarity [7] (euler_xyz, transl, scale) —
+    # the NeRSemble tracking keeps global head pose outside FLAME
+    # (benchmark/nersemble/dataset.py:60-93); None for INSTA/IMAvatar
+    world_transform: Optional[jax.Array] = None
 
 
 @struct.dataclass
@@ -92,6 +96,7 @@ def make_train_step(
             bg_color=frame.bg_color,
             render_cfg=render_cfg,
             means2d_probe=probe,
+            world_transform=frame.world_transform,
         )
         losses = loss_fn(out, {"rgb": frame.rgb})
         return losses["loss"], (out, losses)

@@ -244,12 +244,15 @@ class Trainer:
                     np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8))
                 self._frame_cache[idx] = dev
             rgb = dev
+        wt = sample.get("world_transform")
         return Frame(
             expression=expr,
             flame_pose=pose,
             camera=camera,
             rgb=rgb,
             bg_color=self.bg_color,
+            world_transform=(None if wt is None
+                             else np.asarray(wt, np.float32)),
         )
 
 

@@ -64,9 +64,13 @@ def save_image_grid(path: str, images, cols: Optional[int] = None) -> None:
     save_image(path, grid)
 
 
-def write_video(path: str, frames, fps: int = 25) -> bool:
+def write_video(path: str, frames, fps: int = 25, crf: int = None,
+                preset: str = None) -> bool:
     """Write an mp4 via the ffmpeg binary if present; else fall back to an
-    animated GIF (the reference uses cv2.VideoWriter, train/trainer.py:302)."""
+    animated GIF (the reference uses cv2.VideoWriter, train/trainer.py:302).
+
+    ``crf``/``preset`` select x264 quality — the NeRSemble submission
+    encoding is crf=14 preset=slow (run_nersemble_benchmark.py:127-137)."""
     import shutil
     import subprocess
     import numpy as np
@@ -80,10 +84,16 @@ def write_video(path: str, frames, fps: int = 25) -> bool:
     frames = [_u8(f) for f in frames]
     if shutil.which("ffmpeg") and path.endswith(".mp4"):
         h, w = frames[0].shape[:2]
+        quality = []
+        if crf is not None:
+            quality += ["-crf", str(crf)]
+        if preset is not None:
+            quality += ["-preset", preset]
         proc = subprocess.Popen(
             ["ffmpeg", "-y", "-loglevel", "error", "-f", "rawvideo",
              "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-r", str(fps),
-             "-i", "-", "-c:v", "libx264", "-pix_fmt", "yuv420p", path],
+             "-i", "-", "-c:v", "libx264", "-pix_fmt", "yuv420p",
+             *quality, path],
             stdin=subprocess.PIPE,
         )
         for f in frames:

@@ -223,3 +223,47 @@ class TestLandmarks:
         np.testing.assert_allclose(
             np.asarray(lmk_dyn[0, 17:]), np.asarray(lmk_static[0, 17:]),
             atol=1e-6)
+
+
+class TestWorldTransform:
+    """Model-to-world similarity (NeRSemble tracking pose,
+    benchmark/nersemble/FLAME.py:262-275)."""
+
+    def test_euler_xyz_matches_scipy(self):
+        from scipy.spatial.transform import Rotation
+
+        from fateavatar_tpu.flame.flame import euler_xyz_matrix
+
+        rng = np.random.default_rng(3)
+        e = rng.uniform(-np.pi, np.pi, (8, 3)).astype(np.float32)
+        got = np.asarray(euler_xyz_matrix(jnp.asarray(e)))
+        want = Rotation.from_euler("XYZ", e).as_matrix()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_scale_rotation_not_translation(self):
+        from fateavatar_tpu.flame.flame import apply_world_transform
+
+        v = jnp.asarray([[[1.0, 2.0, 3.0]]])
+        wt = jnp.asarray([[0.0, 0.0, 0.0, 10.0, 20.0, 30.0, 2.0]])
+        out = np.asarray(apply_world_transform(v, wt))[0, 0]
+        # identity rotation, scale 2 on the point, translation UNscaled
+        np.testing.assert_allclose(out, [12.0, 24.0, 36.0], atol=1e-5)
+
+    def test_flame_forward_world_transform(self):
+        from fateavatar_tpu.flame.flame import apply_world_transform
+
+        m = synthetic_flame(n_verts=64, n_shape=4, n_exp=3, seed=5)
+        expr = jnp.zeros((1, m.n_exp))
+        pose = jnp.zeros((1, 15))
+        wt = jnp.asarray([[0.3, -0.2, 0.1, 0.5, -0.1, 0.2, 1.1]])
+        v_plain, _, _ = flame_forward(m, expr, pose)
+        v_world, _, _ = flame_forward(m, expr, pose, world_transform=wt)
+        np.testing.assert_allclose(
+            np.asarray(v_world), np.asarray(apply_world_transform(v_plain, wt)),
+            atol=1e-6)
+        # global-rotation slot zero + external transform == reference's
+        # variant contract: transform must be invertible back
+        from fateavatar_tpu.flame.flame import euler_xyz_matrix
+        R = np.asarray(euler_xyz_matrix(wt[0, :3])) * float(wt[0, 6])
+        back = (np.asarray(v_world)[0] - np.asarray(wt[0, 3:6])) @ np.linalg.inv(R).T
+        np.testing.assert_allclose(back, np.asarray(v_plain)[0], atol=1e-5)
