@@ -334,13 +334,16 @@ class Trainer:
         eligible = (
             self._frame_cache is not None
             and len(self._frame_cache) >= n
-            and not self.tracking_enabled
             and self.dp_mesh is None
             and (self.adapter is None
                  or hasattr(self.train_step, "raw"))
         )
         if not eligible:
             return None
+        if self.tracking_enabled:
+            if self.adapter is not None:
+                return None
+            return self._build_scan_epoch_tracking(n)
         frames = [
             self._make_frame(self.train_dataset.sample(i), None)
             for i in range(n)
@@ -369,10 +372,86 @@ class Trainer:
                                                 jnp.zeros((), jnp.int32))}
             return jax.lax.scan(body, ts, fr)
 
-        self._scan_epoch = (epoch_fn, stacked)
+        self._scan_epoch = (epoch_fn, stacked, False)
         self.logger.log(
             f"[scan] epoch compiled as one lax.scan over {n} "
             "device-resident frames")
+        return self._scan_epoch
+
+    def _build_scan_epoch_tracking(self, n: int):
+        """Scan-epoch for TRACKING datasets (the IMAvatar path): each frame
+        index is visited exactly once per epoch, so carrying the tracking
+        tables through the scan reproduces the per-step loop exactly —
+        main step on the row's current params, then the row refinement
+        against the post-step model (train/base.py:113-151 order)."""
+        model, loss_fn = self.model, self.loss_fn
+        W, H = model.cfg.img_width, model.cfg.img_height
+        ds = self.train_dataset
+
+        idxs, Rs, fovxs, fovys, rgbs = [], [], [], [], []
+        for i in range(n):
+            s = ds.sample(i)
+            cam_pose = np.asarray(s["cam_pose"], np.float32)
+            idxs.append(s["idx"])
+            Rs.append(cam_pose[:3, :3].T)
+            fovxs.append(np.float32(s["fovx"]))
+            fovys.append(np.float32(s["fovy"]))
+            f = self._make_frame(s, None, cache=True)
+            rgbs.append(f.rgb)
+        xs = {
+            "idx": jnp.asarray(np.asarray(idxs, np.int32)),
+            "R": jnp.asarray(np.stack(Rs)),
+            "fovx": jnp.asarray(np.stack(fovxs)),
+            "fovy": jnp.asarray(np.stack(fovys)),
+            "rgb": jnp.stack([jnp.asarray(r) for r in rgbs]),
+        }
+        self._frame_cache.clear()
+
+        raw_step = make_train_step(
+            self.model, self.loss_fn, self.optimizer, self.maint_cfg,
+            self.render_cfg, return_raw=True,
+        )
+        track_opt = self.track_opt
+        bg = self.bg_color
+        fwd = self._forward
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def epoch_fn(ts, tables, tstate, xs):
+            def body(carry, x):
+                ts, tables, tstate = carry
+                idx = x["idx"]
+                e = tables.expression[idx]
+                p = tables.flame_pose[idx]
+                t = tables.cam_t[idx]
+                camera = make_camera(x["R"], t, x["fovx"], x["fovy"], W, H)
+                frame = Frame(expression=e, flame_pose=p, camera=camera,
+                              rgb=x["rgb"], bg_color=bg)
+                ts, aux = raw_step(ts, frame)
+
+                def loss_of(e, p, t):
+                    cam = make_camera(x["R"], t, x["fovx"], x["fovy"], W, H)
+                    out = fwd(ts.params, ts.state, e, p, cam)
+                    return loss_fn(out, {"rgb": x["rgb"]})["loss"]
+
+                ge, gp, gt = jax.grad(loss_of, argnums=(0, 1, 2))(e, p, t)
+                from fateavatar_tpu.train.tracking import TrackingTables
+                tables, tstate = track_opt.update_row(
+                    tables, tstate,
+                    TrackingTables(expression=ge, flame_pose=gp, cam_t=gt),
+                    idx)
+                zero = jnp.zeros((), jnp.float32)
+                return (ts, tables, tstate), {
+                    "loss": aux["loss"],
+                    "psnr": aux.get("psnr", zero),
+                    "overflow": aux.get("overflow", jnp.zeros((), jnp.int32)),
+                }
+            (ts, tables, tstate), auxs = jax.lax.scan(body, (ts, tables, tstate), xs)
+            return ts, tables, tstate, auxs
+
+        self._scan_epoch = (epoch_fn, xs, True)
+        self.logger.log(
+            f"[scan] tracking epoch compiled as one lax.scan over {n} "
+            "device-resident frames (step + row refinement fused)")
         return self._scan_epoch
 
     def train(self, max_epochs: int):
@@ -453,12 +532,17 @@ class Trainer:
                if hasattr(self.ts.state, "alive") else "")
         )
 
-    def _train_epoch_scan(self, epoch_fn, stacked_frames):
+    def _train_epoch_scan(self, epoch_fn, stacked_frames, tracking=False):
         ds = self.train_dataset
         n = len(ds)
         t0 = time.perf_counter()
         step_before = self.global_step
-        self.ts, aux = epoch_fn(self.ts, stacked_frames)
+        if tracking:
+            (self.ts, self.train_tables, self.train_track_state,
+             aux) = epoch_fn(self.ts, self.train_tables,
+                             self.train_track_state, stacked_frames)
+        else:
+            self.ts, aux = epoch_fn(self.ts, stacked_frames)
         aux = jax.device_get(aux)          # [n] per-step scalars, one fetch
         self.global_step += n
         # snapshot cadence at epoch granularity (per-step semantics would

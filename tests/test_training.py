@@ -436,3 +436,50 @@ class TestScanEpoch:
         tr.train(2)
         assert tr._scan_epoch is not None
         assert tr.global_step == 8
+
+
+class TestTrackingScanEpoch:
+    def test_tracking_scan_matches_per_step(self):
+        """The fused tracking scan-epoch (step + row refinement in one
+        lax.scan) reproduces the per-step loop: params, tables and row
+        counts after two epochs match."""
+
+        def make(cache):
+            flame = synthetic_flame(n_verts=96, n_shape=6, n_exp=4, seed=0)
+            mesh = sphere_obj_mesh(96)
+            cfg = FateAvatarConfig(tex_size=8, capacity=128, img_height=RES,
+                                   img_width=RES, normal_offset=0.02)
+            model, params, state = init_fateavatar(mesh, flame, cfg)
+            ds = SyntheticDataset(num_frames=3, img_res=(RES, RES), n_exp=4)
+            ds.optimize_tracking = True
+            return Trainer(
+                name="tscan", model=model, params=params, state=state,
+                loss_fn=FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0)),
+                optimizer=fateavatar_optimizers({}),
+                train_dataset=ds, test_dataset=None,
+                workspace=None, render_cfg=RENDER_CFG,
+                maint_cfg=MaintenanceConfig(densify_interval=10**9,
+                                            prune_interval=10**9,
+                                            opacity_reset_interval=10**9),
+                snapshot_interval=10**9, device_frame_cache=cache,
+            )
+
+        tr_scan = make("on")
+        tr_ref = make("off")
+        tr_ref.train_dataset = tr_scan.train_dataset   # identical frames
+        for tr in (tr_scan, tr_ref):
+            tr.epoch = 1
+            tr.train_epoch()
+            tr.epoch = 2
+            tr.train_epoch()
+        assert tr_scan._scan_epoch is not None and tr_scan._scan_epoch[2]
+        assert getattr(tr_ref, "_scan_epoch", None) is None
+
+        a = np.asarray(jax.device_get(tr_scan.ts.params.scaling))
+        b = np.asarray(jax.device_get(tr_ref.ts.params.scaling))
+        np.testing.assert_allclose(a, b, atol=5e-3)   # uint8-gt quantization
+        ta = np.asarray(jax.device_get(tr_scan.train_tables.expression))
+        tb = np.asarray(jax.device_get(tr_ref.train_tables.expression))
+        np.testing.assert_allclose(ta, tb, atol=5e-3)
+        assert (np.asarray(
+            jax.device_get(tr_scan.train_track_state.count)) == 2).all()
