@@ -33,6 +33,7 @@ def main(argv=None):
     # checkpoint-variant resolution (avatar_gui.py:51-68): prefer baked,
     # then the latest training checkpoint
     baked = os.path.join(args.workspace, "checkpoints_baked", "baked.npz")
+    tables = None
     if args.variant in ("auto", "baked") and os.path.exists(baked):
         from fateavatar_tpu.train.checkpoints import load_pytree
 
@@ -43,12 +44,17 @@ def main(argv=None):
         loader = Loader(model, params0, state0, args.workspace,
                         render_cfg=common.render_config(cfg))
         params, state = loader.params, loader.state
-        print(f"loaded training checkpoint (epoch {loader.epoch})")
+        tables = loader.tables   # tracking-refined per-frame params, if any
+        print(f"loaded training checkpoint (epoch {loader.epoch})"
+              + (" + tracking tables" if tables is not None else ""))
 
+    # playback drives TRAIN-sequence frames (the reference GUI's train-mode
+    # playback of tracking-refined params, tools/gui.py:606-637)
     render_fn = make_avatar_render_fn(
-        model, params, state, dataset=test_ds,
+        model, params, state, dataset=train_ds if tables is not None else test_ds,
         camera_distance=args.camera_distance,
         render_cfg=common.render_config(cfg),
+        tables=tables,
     )
     ViewerServer(
         render_fn, model.cfg.img_width, model.cfg.img_height,

@@ -39,6 +39,7 @@ class Loader:
         opt = fateavatar_optimizers({})
         ts = init_train_state(params_template, state_template, opt)
         tree = {"ts": ts, "epoch": 0, "global_step": 0}
+        self.tables = None   # TrackingTables when the run refined tracking
         try:
             restored = ckpt.restore(tree)
             self.params = restored["ts"].params
@@ -59,6 +60,12 @@ class Loader:
                 k: jnp.asarray(v) for k, v in ts_raw["state"].items()
             })
             self.epoch = int(raw["epoch"])
+            if "train_tables" in raw:
+                from fateavatar_tpu.train.tracking import TrackingTables
+
+                self.tables = TrackingTables(**{
+                    k: jnp.asarray(v) for k, v in raw["train_tables"].items()
+                })
         ckpt.close()
 
     def render_frame(self, expression, flame_pose, camera):

@@ -37,13 +37,14 @@ button { margin-top: 8px; }
   <h3>fateavatar_tpu</h3>
   <div>drag to orbit &middot; wheel to zoom</div>
   <button id="play">play sequence</button>
+  <button id="tracked">tracked params: off</button>
   <button id="reset">reset</button>
   <div id="sliders"></div>
 </div>
 <script>
 const NEXP = %(n_exp)d;
 let state = {yaw: 0, pitch: 0, zoom: 1, exp: new Array(NEXP).fill(0),
-             jaw: 0, playing: false, frame: 0};
+             jaw: 0, playing: false, frame: 0, tracked: false};
 const sliders = document.getElementById('sliders');
 function addSlider(name, min, max, get, set) {
   const l = document.createElement('label');
@@ -71,6 +72,10 @@ window.onmousemove = e => {
 canvas.onwheel = e => { state.zoom *= e.deltaY > 0 ? 1.05 : 0.95; dirty = true;
                         e.preventDefault(); };
 document.getElementById('play').onclick = () => { state.playing = !state.playing; };
+document.getElementById('tracked').onclick = e => {
+  state.tracked = !state.tracked; dirty = true;
+  e.target.textContent = 'tracked params: ' + (state.tracked ? 'on' : 'off');
+};
 document.getElementById('reset').onclick = () => {
   state.yaw = 0; state.pitch = 0; state.zoom = 1;
   state.exp.fill(0); state.jaw = 0; dirty = true; };
@@ -83,11 +88,15 @@ async function tick() {
     const t0 = performance.now();
     const r = await fetch('/render', {method: 'POST',
       body: JSON.stringify(state)});
+    const devMs = r.headers.get('X-Device-Ms');
     const blob = await r.blob();
     const img = await createImageBitmap(blob);
     ctx.drawImage(img, 0, 0);
     document.getElementById('fps').textContent =
-      (1000 / (performance.now() - t0)).toFixed(1) + ' fps (round-trip)';
+      (1000 / (performance.now() - t0)).toFixed(1) + ' fps (round-trip)' +
+      (devMs ? ' · ' + parseFloat(devMs).toFixed(1) +
+               ' ms device (' + (1000 / parseFloat(devMs)).toFixed(0) +
+               ' fps)' : '');
     inflight = false;
   }
   requestAnimationFrame(tick);
@@ -124,14 +133,22 @@ class ViewerServer:
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 state = json.loads(self.rfile.read(n) or b"{}")
-                img = outer.render_fn(state)
+                out = outer.render_fn(state)
+                # render_fn may return (image, device_ms) — the viewer
+                # shows pure device render time next to the round-trip fps
+                # (the reference's CUDA-event display, tools/gui.py:643-699)
+                device_ms = None
+                if isinstance(out, tuple):
+                    out, device_ms = out
                 from PIL import Image
 
                 buf = io.BytesIO()
-                arr = (np.clip(np.asarray(img), 0, 1) * 255).astype("uint8")
+                arr = (np.clip(np.asarray(out), 0, 1) * 255).astype("uint8")
                 Image.fromarray(arr).save(buf, format="JPEG", quality=90)
                 self.send_response(200)
                 self.send_header("Content-Type", "image/jpeg")
+                if device_ms is not None:
+                    self.send_header("X-Device-Ms", f"{device_ms:.3f}")
                 self.end_headers()
                 self.wfile.write(buf.getvalue())
 
@@ -152,10 +169,19 @@ class ViewerServer:
 
 def make_avatar_render_fn(model, params, state, dataset=None,
                           camera_distance: float = 1.0,
-                          render_cfg=None):
+                          render_cfg=None, tables=None):
     """Build the render callback for a FateAvatar: mouse orbit as FLAME
     root rotation (tools/gui.py:654-661), slider-driven jaw/expression,
-    optional dataset autoplay (play_step, tools/gui.py:606-637)."""
+    optional dataset autoplay (play_step, tools/gui.py:606-637).
+
+    ``tables``: optional :class:`TrackingTables` — with UI ``tracked`` on,
+    sequence playback drives the TRACKING-REFINED per-frame rows instead
+    of the raw dataset params (the reference's train-mode playback,
+    tools/gui.py:606-637 reading the optimized embeddings). Returns
+    ``(image, device_ms)`` pairs; device_ms is the blocked jitted render
+    time (the CUDA-event equivalent, tools/gui.py:643-699)."""
+    import time
+
     import jax
     import jax.numpy as jnp
 
@@ -176,11 +202,21 @@ def make_avatar_render_fn(model, params, state, dataset=None,
             model, params, state, expr, pose, camera, render_cfg=render_cfg
         )["rgb_image"]
 
+    if tables is not None:
+        _t_expr = np.asarray(jax.device_get(tables.expression))
+        _t_pose = np.asarray(jax.device_get(tables.flame_pose))
+
     def render_fn(ui):
-        if ui.get("playing") and dataset is not None and len(dataset):
-            s = dataset.sample(ui.get("frame", 0) % len(dataset))
-            expr = np.asarray(s["expression"], np.float32)
-            pose = np.asarray(s["flame_pose"], np.float32)
+        playing = ui.get("playing") and dataset is not None and len(dataset)
+        if playing:
+            idx = ui.get("frame", 0) % len(dataset)
+            if ui.get("tracked") and tables is not None:
+                expr = _t_expr[idx, :n_exp].astype(np.float32)
+                pose = _t_pose[idx].astype(np.float32).copy()
+            else:
+                s = dataset.sample(idx)
+                expr = np.asarray(s["expression"], np.float32)
+                pose = np.asarray(s["flame_pose"], np.float32).copy()
         else:
             expr = np.zeros(n_exp, np.float32)
             vals = ui.get("exp", [])
@@ -192,6 +228,11 @@ def make_avatar_render_fn(model, params, state, dataset=None,
         pose[1] = float(ui.get("yaw", 0.0))
         cam_t = np.array([0.0, 0.0, camera_distance * float(ui.get("zoom", 1.0))],
                          np.float32)
-        return _render(jnp.asarray(expr), jnp.asarray(pose), jnp.asarray(cam_t))
+        t0 = time.perf_counter()
+        img = _render(jnp.asarray(expr), jnp.asarray(pose),
+                      jnp.asarray(cam_t))
+        jax.block_until_ready(img)
+        device_ms = (time.perf_counter() - t0) * 1000.0
+        return img, device_ms
 
     return render_fn

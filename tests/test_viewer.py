@@ -1,0 +1,83 @@
+"""Web viewer: render callback autoplay modes (raw dataset params vs
+tracking-refined table rows — the reference GUI's train-mode playback,
+tools/gui.py:606-637), the device-timed FPS readout (the CUDA-event
+display, tools/gui.py:643-699), and one HTTP round trip."""
+
+import json
+import urllib.request
+
+import numpy as np
+import jax.numpy as jnp
+
+from fateavatar_tpu.flame import synthetic_flame
+from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
+from fateavatar_tpu.render.render import RenderConfig
+from fateavatar_tpu.train.datasets import SyntheticDataset
+from fateavatar_tpu.train.tracking import TrackingTables
+from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+from fateavatar_tpu.viewer.web import ViewerServer, make_avatar_render_fn
+
+RES = 32
+RENDER_CFG = RenderConfig(impl="xla", max_per_tile=64, chunk=32)
+
+
+def _avatar():
+    flame = synthetic_flame(n_verts=96, n_shape=6, n_exp=4, seed=0)
+    cfg = FateAvatarConfig(tex_size=8, capacity=128, img_height=RES,
+                           img_width=RES, normal_offset=0.02)
+    return init_fateavatar(sphere_obj_mesh(96), flame, cfg)
+
+
+def test_autoplay_modes_and_device_timing():
+    model, params, state = _avatar()
+    ds = SyntheticDataset(num_frames=3, img_res=(RES, RES), n_exp=4)
+    # tables deliberately differ from the raw dataset params
+    F = len(ds)
+    tables = TrackingTables(
+        expression=jnp.asarray(
+            np.stack([ds.sample(i)["expression"] for i in range(F)])
+            + 0.5, jnp.float32),
+        flame_pose=jnp.asarray(
+            np.stack([ds.sample(i)["flame_pose"] for i in range(F)]),
+            jnp.float32),
+        cam_t=jnp.tile(jnp.asarray([0.0, 0.0, 0.4])[None], (F, 1)),
+    )
+    fn = make_avatar_render_fn(model, params, state, dataset=ds,
+                               render_cfg=RENDER_CFG, tables=tables)
+
+    img_raw, ms_raw = fn({"playing": True, "frame": 1, "tracked": False})
+    img_trk, ms_trk = fn({"playing": True, "frame": 1, "tracked": True})
+    img_sl, _ = fn({"playing": False, "exp": [0.3], "jaw": 0.1})
+    assert img_raw.shape == (RES, RES, 3)
+    assert ms_raw > 0 and ms_trk > 0
+    # tracked rows (expression +0.5) render differently from raw params
+    assert float(jnp.abs(img_trk - img_raw).max()) > 1e-4
+    assert np.isfinite(np.asarray(img_sl)).all()
+
+
+def test_http_round_trip_serves_device_ms():
+    model, params, state = _avatar()
+    ds = SyntheticDataset(num_frames=2, img_res=(RES, RES), n_exp=4)
+    fn = make_avatar_render_fn(model, params, state, dataset=ds,
+                               render_cfg=RENDER_CFG)
+    srv = ViewerServer(fn, RES, RES, 4, port=0)
+    port = srv.httpd.server_address[1]
+    srv.serve_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/render",
+            data=json.dumps({"playing": True, "frame": 0}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            body = r.read()
+            assert r.headers["Content-Type"] == "image/jpeg"
+            assert float(r.headers["X-Device-Ms"]) > 0
+            assert body[:2] == b"\xff\xd8"          # JPEG magic
+        # the page carries both autoplay controls
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=30) as r:
+            page = r.read().decode()
+            assert "play sequence" in page and "tracked params" in page
+            assert "X-Device-Ms" in page
+    finally:
+        srv.shutdown()
