@@ -211,25 +211,36 @@ def main():
     if not vals:
         print("[warn] no plausible timing window; reporting 0",
               file=sys.stderr)
-        its = 0.0
+        scan_its = 0.0
     else:
-        its = statistics.median(vals)
-        print(f"[windows] {[f'{v:.1f}' for v in vals]} -> median "
-              f"{its:.1f}, max {max(vals):.1f} it/s", file=sys.stderr)
+        scan_its = statistics.median(vals)
+        print(f"[scan windows] {[f'{v:.1f}' for v in vals]} -> median "
+              f"{scan_its:.1f}, max {max(vals):.1f} it/s", file=sys.stderr)
 
-    # ---- secondary: per-dispatch stepping (non-scan trainer path; pays
-    # the tunnel's per-dispatch overhead) ----
+    # ---- per-dispatch stepping: the trainer's other production mode
+    # (pipelined per-step dispatches over device-cached frames). Which
+    # mode wins depends on the session's tunnel dispatch overhead (1-6 ms)
+    # vs the scan program's loop overhead; the trainer can run either, so
+    # the headline is the BEST mode (median of windows within a mode).
     dts = init_train_state(params, state, opt)
-    for _ in range(3):
+    dts = dts.replace(step=jnp.asarray(START, dts.step.dtype))
+    for _ in range(2 * n):          # warmup through the same span
         dts, daux = step(dts, frame)
     jax.block_until_ready(daux["loss"])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        dts, daux = step(dts, frame)
-    jax.block_until_ready(daux["loss"])
-    d_its = n / (time.perf_counter() - t0)
-    print(f"[secondary] per-dispatch train step (reference loss): "
+
+    def run_dispatch(k):
+        nonlocal dts
+        for _ in range(k):
+            dts, daux = step(dts, frame)
+        jax.block_until_ready(daux["loss"])
+        return {"overflow": int(daux["overflow"])}
+
+    dvals, _ = _time_windows(run_dispatch, n)
+    d_its = statistics.median(dvals) if dvals else 0.0
+    print(f"[dispatch windows] {[f'{v:.1f}' for v in dvals]} -> median "
           f"{d_its:.1f} it/s", file=sys.stderr)
+
+    its, mode = max((scan_its, "scan"), (d_its, "per-dispatch"))
 
     # ---- secondary: the round-1 headline config (rgb + DSSIM 0.25), for
     # cross-round comparability ----
@@ -268,7 +279,7 @@ def main():
         "metric": (
             f"FateAvatar train-step it/s (512x512, {tex * tex} splats, "
             f"reference loss rgb+VGG16(0.1), maintenance live, autosized "
-            f"binning caps, scanned steps, median of windows, "
+            f"binning caps, best trainer mode [{mode}], median of windows, "
             f"{backend}/{render_cfg.resolve_impl()})"
         ),
         "value": round(its, 3),

@@ -234,6 +234,11 @@ def vgg_perceptual_loss(params, pred, gt, resize: bool = True, dtype=None):
     the per-block L1 reductions always accumulate in float32."""
     if pred.ndim == 3:
         pred, gt = pred[None], gt[None]
+    if dtype is not None:
+        # lower the precision BEFORE normalize/resize: the 512->224
+        # bilinear resample (fwd + transpose) is bandwidth-bound and the
+        # result feeds a `dtype` conv stack anyway
+        pred, gt = pred.astype(dtype), gt.astype(dtype)
     pred = (pred - _IMAGENET_MEAN) / _IMAGENET_STD
     gt = (gt - _IMAGENET_MEAN) / _IMAGENET_STD
     if resize:
