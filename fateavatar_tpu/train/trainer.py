@@ -465,9 +465,26 @@ class Trainer:
     def train_epoch(self):
         if self.dp_mesh is not None:
             return self._train_epoch_dp()
-        scan = self._maybe_scan_epoch()
+        # runtime mode selection: on remote (tunnelled) backends the
+        # faster of the two stepping modes depends on the session's
+        # per-dispatch overhead vs the scan program's loop overhead — keep
+        # whichever measured faster once both have run an epoch
+        scan = None if getattr(self, "_scan_disabled", False) \
+            else self._maybe_scan_epoch()
         if scan is not None:
-            return self._train_epoch_scan(*scan)
+            self._train_epoch_scan(*scan)
+            # _scan_its exists from the SECOND scan epoch on (the first
+            # pays the epoch-program compile)
+            per_step = getattr(self, "_per_step_its", None)
+            scan_its = getattr(self, "_scan_its", None)
+            if per_step and scan_its and scan_its < 0.9 * per_step:
+                self._scan_disabled = True
+                self.logger.log(
+                    f"[scan] per-step mode is faster on this backend "
+                    f"({per_step:.1f} vs {scan_its:.1f} it/s) — switching "
+                    "back to per-step epochs")
+            self._scan_checked = True
+            return
         ds = self.train_dataset
         order = np.arange(len(ds))
         meters = {"loss": metrics_mod.LossMeter(), "psnr": metrics_mod.Meter("PSNR")}
@@ -492,10 +509,18 @@ class Trainer:
                     )
             pending.clear()
 
+        steps_done = 0
+        t_steady = None
         for sample in Prefetcher(ds, order):
             frame = self._make_frame(sample, tables)
             self.ts, aux = self.train_step(self.ts, frame)
             self.global_step += 1
+            steps_done += 1
+            if steps_done == 3:
+                # steady-state marker: the first dispatches pay compile +
+                # one-time cache uploads and would understate this mode
+                jax.block_until_ready(aux["loss"])
+                t_steady = time.perf_counter()
             pending.append(aux)
 
             # tracking refinement on the SAME frame (train/trainer.py:173-176):
@@ -524,6 +549,9 @@ class Trainer:
         flush()
         dt = time.perf_counter() - t0
         n = len(ds)
+        if t_steady is not None and n > 3:
+            self._per_step_its = (n - 3) / max(
+                time.perf_counter() - t_steady, 1e-9)
         self.logger.log(
             f"[epoch {self.epoch}] {n} frames in {dt:.1f}s "
             f"({n / max(dt, 1e-9):.2f} it/s) | loss={meters['loss'].measure():.5f} "
@@ -552,6 +580,10 @@ class Trainer:
                 != self.global_step // self.snapshot_interval):
             self.save_snapshot(ds.sample(n - 1))
         dt = time.perf_counter() - t0
+        # the FIRST scan epoch pays the epoch-program compile; only count
+        # later ones toward the mode-selection measurement
+        if getattr(self, "_scan_checked", False):
+            self._scan_its = n / max(dt, 1e-9)
         overflow = int(np.sum(aux["overflow"]))
         if overflow > 0:
             self.logger.file_only(
