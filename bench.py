@@ -28,6 +28,7 @@ metadata).
 """
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -72,12 +73,16 @@ def main():
     from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
 
     backend = jax.default_backend()
-    res = 512
-    tex = 256          # 65,536 initial splats (config/fateavatar.yaml tex_size)
-    capacity = 70_000
+    # BENCH_SMOKE=1: tiny shapes for a CPU smoke test of the harness logic
+    # (scout -> size -> both timed modes); numbers are meaningless there
+    smoke = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+    res = 64 if smoke else 512
+    tex = 16 if smoke else 256   # 65,536 initial splats at full size
+    capacity = 512 if smoke else 70_000
+    n_verts = 96 if smoke else 512
 
-    flame = synthetic_flame(n_verts=512, n_shape=8, n_exp=6, seed=0)
-    mesh = sphere_obj_mesh(512)
+    flame = synthetic_flame(n_verts=n_verts, n_shape=8, n_exp=6, seed=0)
+    mesh = sphere_obj_mesh(n_verts)
     cfg = FateAvatarConfig(
         tex_size=tex, capacity=capacity, img_height=res, img_width=res,
         normal_offset=0.02,
@@ -119,18 +124,21 @@ def main():
     )
 
     # ---- PRIMARY: reference loss + reference maintenance cadence ----
-    loss_fn = FateAvatarLoss(
-        FateAvatarLossConfig(rgb_weight=1.0, vgg_weight=0.1,
-                             vgg_dtype="bfloat16"),
-        vgg_params=vgg16_random_params(jax.random.PRNGKey(0)),
-    )
+    if smoke:   # CPU smoke: the 224^2 VGG stack would dominate the test
+        loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0))
+    else:
+        loss_fn = FateAvatarLoss(
+            FateAvatarLossConfig(rgb_weight=1.0, vgg_weight=0.1,
+                                 vgg_dtype="bfloat16"),
+            vgg_params=vgg16_random_params(jax.random.PRNGKey(0)),
+        )
     opt = fateavatar_optimizers({})
     maint = MaintenanceConfig()   # densify 3000 / prune 2000 / reset 60000
 
     # The benched span: warmup 5900->5960, five 30-step timed windows
     # 5960->6110. The densify(3000) + prune(2000) EVENTS at step 6000 fire
     # inside timed window 2, on top of the every-step stat accumulation.
-    START, n, windows = 5900, 30, 5
+    START, n, windows = (8, 4, 2) if smoke else (5900, 30, 5)
     span_end = START + 2 * n + windows * n + 10
 
     # ---- Phase A: scout the span with robust caps, measure peak occupancy
@@ -252,7 +260,7 @@ def main():
     ts2 = init_train_state(params, state, opt)
     run2.box["ts"] = ts2.replace(step=jnp.asarray(START, ts2.step.dtype))
     run2(n)   # compile (k=n) + advance
-    vals2, _ = _time_windows(run2, n, attempts=3)
+    vals2, _ = _time_windows(run2, n, attempts=1 if smoke else 3)
     if vals2:
         print(f"[secondary] train step rgb+dssim (round-1 headline "
               f"config): {statistics.median(vals2):.1f} it/s",
@@ -277,8 +285,9 @@ def main():
 
     result = {
         "metric": (
-            f"FateAvatar train-step it/s (512x512, {tex * tex} splats, "
-            f"reference loss rgb+VGG16(0.1), maintenance live, autosized "
+            f"FateAvatar train-step it/s ({res}x{res}, {tex * tex} splats, "
+            f"{'smoke rgb loss' if smoke else 'reference loss rgb+VGG16(0.1)'}, "
+            f"maintenance live, autosized "
             f"binning caps, best trainer mode [{mode}], median of windows, "
             f"{backend}/{render_cfg.resolve_impl()})"
         ),
