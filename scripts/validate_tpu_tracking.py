@@ -37,15 +37,19 @@ def main(epochs: int = 3, frames: int = 50):
     from fateavatar_tpu.train.trainer import Trainer
     from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
 
-    res, tex, capacity = 512, 256, 70_000
+    # SMOKE=1: tiny CPU shapes to validate the harness logic only
+    smoke = bool(int(os.environ.get("SMOKE", "0")))
+    res, tex, capacity = (64, 16, 512) if smoke else (512, 256, 70_000)
+    n_verts = 96 if smoke else 512
     backend = jax.default_backend()
-    flame = synthetic_flame(n_verts=512, n_shape=8, n_exp=6, seed=0)
-    mesh = sphere_obj_mesh(512)
+    flame = synthetic_flame(n_verts=n_verts, n_shape=8, n_exp=6, seed=0)
+    mesh = sphere_obj_mesh(n_verts)
     cfg = FateAvatarConfig(tex_size=tex, capacity=capacity, img_height=res,
                            img_width=res, normal_offset=0.02)
     render_cfg = RenderConfig(
         impl="pallas" if backend == "tpu" else "xla",
-        max_per_tile=1024, chunk=64, instance_budget=2 * capacity,
+        max_per_tile=256 if smoke else 1024, chunk=32 if smoke else 64,
+        instance_budget=4 * capacity if smoke else 2 * capacity,
         max_tiles_per_gaussian=12, binning="twotier",
     )
 
