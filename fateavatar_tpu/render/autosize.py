@@ -155,7 +155,7 @@ def make_occupancy_probe(model, camera):
 
 
 def size_caps(total: int, max_t: int, n: int, num_tiles: int, base_cfg,
-              safety: float = 1.15, r_slack: float = 1.25,
+              safety: float = 1.08, r_slack: float = 1.25,
               chunk_align: int = 4096, big_count: Optional[int] = None,
               big_slack: float = 2.0):
     """Size ``instance_budget`` / ``max_tiles_per_gaussian`` from a MEASURED

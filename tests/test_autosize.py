@@ -119,9 +119,9 @@ class TestOccupancy:
     def test_size_caps_bounds(self):
         base = RenderConfig(impl="xla")
         cfg = size_caps(total=10_000, max_t=5, n=4096, num_tiles=1024, base_cfg=base)
-        # R: ceil(5 * 1.34 / 4) * 4 = 8; M: chunk-aligned >= 1.15 * 10000
+        # R: ceil(5 * 1.25 / 4) * 4 = 8; M: chunk-aligned >= 1.08 * 10000
         assert cfg.max_tiles_per_gaussian == 8
-        assert cfg.instance_budget >= int(10_000 * 1.15)
+        assert cfg.instance_budget >= int(10_000 * 1.08)
         assert cfg.instance_budget % 4096 == 0
         assert cfg.instance_budget <= 4096 * 16
         # R never exceeds the tile count's pow2
