@@ -139,6 +139,8 @@ def render_config(cfg: Config) -> RenderConfig:
         chunk=cfg.render.chunk,
         instance_budget=cfg.render.instance_budget,
         t_cutoff=cfg.render.t_cutoff,
+        binning=cfg.render.binning,
+        autosize=cfg.render.autosize,
     )
 
 

@@ -105,11 +105,12 @@ def autosize_render_config(
         return occupancy_stats(
             (prep.soa[0], prep.soa[1]), prep.depth, prep.radius, grid)
 
-    total = max_t = 0
+    total = max_t = n_big = 0
     for f in frames:
-        t, m, _ = _stats(params, state, f.expression, f.flame_pose, f.camera)
+        t, m, nb = _stats(params, state, f.expression, f.flame_pose, f.camera)
         total = max(total, int(jax.device_get(t)))
         max_t = max(max_t, int(jax.device_get(m)))
+        n_big = max(n_big, int(jax.device_get(nb)))
 
     n = int(state.alive.shape[0])
     grid = binning.tile_grid(model.cfg.img_width, model.cfg.img_height)
@@ -119,10 +120,17 @@ def autosize_render_config(
     M = max((M + chunk_align - 1) // chunk_align * chunk_align, chunk_align)
     M = min(M, n * R)  # candidate expansion can never exceed N * R
     cfg = base_cfg.replace(instance_budget=M, max_tiles_per_gaussian=R)
+    if getattr(base_cfg, "binning", "") == "twotier":
+        # one-shot probes (unlike the bench scout) don't see future growth:
+        # generous big-gaussian headroom, still far below full N*R
+        k = int(np.ceil(max(n_big, 1) * 4 / 256.0)) * 256
+        cfg = cfg.replace(tail_k=min(max(k, 256), n))
     if log_fn is not None:
         log_fn(f"[autosize] probe: {total} instances, max {max_t} "
                f"tiles/gaussian -> instance_budget={M} ({M / max(n,1):.2f}N), "
-               f"R={R}")
+               f"R={R}" + (f", tail_k={cfg.tail_k}"
+                           if getattr(base_cfg, 'binning', '') == 'twotier'
+                           else ""))
     return cfg
 
 

@@ -53,6 +53,9 @@ class RenderConfig:
     # to N*r0 + K*(R - r0) on heavy-tailed occupancy distributions.
     tail_r0: int = struct.field(pytree_node=False, default=4)
     tail_k: int = struct.field(pytree_node=False, default=0)
+    # consumed by the Trainer at startup: measure the dataset's occupancy
+    # and replace budget/R/tail_k with sized values (render/autosize.py)
+    autosize: bool = struct.field(pytree_node=False, default=False)
     # gradient-accumulation strategy for the instance gather's transpose.
     # All three are bit-exact; A/B on the TPU v5e chained train step keeps
     # XLA's plain scatter-add as default (17.0 it/s):

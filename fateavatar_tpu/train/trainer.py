@@ -79,6 +79,32 @@ class Trainer:
         self.train_dataset = train_dataset
         self.test_dataset = test_dataset
         self.workspace = workspace
+        if getattr(render_cfg, "autosize", False) and adapter is None:
+            # measure the dataset's true tile occupancy on the first few
+            # frames and size instance_budget / R / tail_k from it
+            # (render/autosize.py) — the CUDA reference sizes its buffers
+            # exactly per frame; static XLA shapes get the measured bound
+            from fateavatar_tpu.render.autosize import autosize_render_config
+            from fateavatar_tpu.train.step import Frame as _Frame
+
+            probes = []
+            for i in range(min(4, len(train_dataset))):
+                s = train_dataset.sample(i)
+                cam_pose = np.asarray(s["cam_pose"], np.float32)
+                probes.append(_Frame(
+                    expression=jnp.asarray(s["expression"], jnp.float32),
+                    flame_pose=jnp.asarray(s["flame_pose"], jnp.float32),
+                    camera=make_camera(
+                        cam_pose[:3, :3].T, cam_pose[:3, 3],
+                        s["fovx"], s["fovy"],
+                        model.cfg.img_width, model.cfg.img_height,
+                        intrinsics=s.get("intrinsics_K")),
+                    rgb=jnp.zeros((1, 1, 3)), bg_color=jnp.ones(3),
+                ))
+            render_cfg = autosize_render_config(
+                model, params, state, probes,
+                render_cfg.replace(autosize=False), log_fn=print,
+            )
         self.render_cfg = render_cfg
         self.maint_cfg = maint_cfg
         self.bg_color = jnp.asarray(bg_color, jnp.float32)

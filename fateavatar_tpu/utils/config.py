@@ -100,6 +100,12 @@ class RenderSection:
     # static instance-array budget (0 = auto 4N); trained 512^2 avatars fit
     # 2N (bench.py) — overflow is counted and logged, never silent
     instance_budget: int = 0
+    # measure the dataset's tile occupancy at startup and size
+    # instance_budget / max_tiles_per_gaussian / tail_k from it
+    # (render/autosize.py) instead of the static values above
+    autosize: bool = False
+    # instance binning flavour (render/render.py RenderConfig.binning)
+    binning: str = "onesort"
     # > 0 enables the chunk-granular T < cutoff early exit (renderCUDA's
     # per-pixel 1e-4 semantics, forward.cu:343-351). Default 0 keeps the
     # exact closed form — A/B'd faster on dense synthetic workloads, the

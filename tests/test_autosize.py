@@ -138,3 +138,40 @@ class TestOccupancy:
             binning.gaussian_rect(mean2d, radius, grid))
         want = int((rx1[0] - rx0[0]) * (ry1[0] - ry0[0]))
         assert int(total) == want and int(max_t) == want
+
+
+def test_trainer_autosize_startup(avatar=None):
+    """render.autosize=True sizes the Trainer's caps from the dataset at
+    startup; training runs clean (no overflow warnings)."""
+    from fateavatar_tpu.flame import synthetic_flame
+    from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
+    from fateavatar_tpu.train.datasets import SyntheticDataset
+    from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
+    from fateavatar_tpu.train.optim import fateavatar_optimizers
+    from fateavatar_tpu.train.step import MaintenanceConfig
+    from fateavatar_tpu.train.trainer import Trainer
+    from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+
+    flame = synthetic_flame(n_verts=96, n_shape=6, n_exp=4, seed=0)
+    cfg = FateAvatarConfig(tex_size=8, capacity=128, img_height=RES,
+                           img_width=RES, normal_offset=0.02)
+    model, params, state = init_fateavatar(sphere_obj_mesh(96), flame, cfg)
+    ds = SyntheticDataset(num_frames=3, img_res=(RES, RES), n_exp=4)
+    tr = Trainer(
+        name="asz", model=model, params=params, state=state,
+        loss_fn=FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0)),
+        optimizer=fateavatar_optimizers({}),
+        train_dataset=ds, test_dataset=None, workspace=None,
+        maint_cfg=MaintenanceConfig(densify_interval=10**9,
+                                    prune_interval=10**9,
+                                    opacity_reset_interval=10**9),
+        render_cfg=RenderConfig(impl="xla", max_per_tile=64, chunk=32,
+                                binning="twotier", autosize=True),
+        snapshot_interval=10**9,
+    )
+    assert tr.render_cfg.autosize is False          # consumed at startup
+    assert tr.render_cfg.instance_budget > 0
+    assert tr.render_cfg.tail_k >= 128
+    tr.epoch = 1
+    tr.train_epoch()
+    assert tr.global_step == 3
