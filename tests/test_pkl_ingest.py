@@ -11,6 +11,7 @@ the original repos.
 """
 
 import collections
+import os
 import pickle
 import sys
 import types
@@ -122,7 +123,11 @@ def tiny_pkl(tmp_path_factory, writer_modules):
     }
     path = tmp_path_factory.mktemp("pkl") / "network-snapshot.pkl"
     with open(path, "wb") as f:
-        pickle.dump(data, f, protocol=2)   # legacy pkls use protocol 2/4
+        pickle.dump(data, f, protocol=4)   # upstream pkls use protocol 4
+    # protocol 2 (oldest in the wild) must load identically
+    path2 = tmp_path_factory.mktemp("pkl") / "network-snapshot-p2.pkl"
+    with open(path2, "wb") as f:
+        pickle.dump(data, f, protocol=2)
     return str(path), cfg, p
 
 
@@ -137,6 +142,16 @@ class TestRestrictedLoad:
             np.testing.assert_array_equal(sd[k], np.asarray(p[k]))
         assert attrs["rendering_kwargs"]["ray_start"] == 2.35
         assert attrs["neural_rendering_resolution"] == cfg.neural_resolution
+
+    def test_protocol2_loads_identically(self, tiny_pkl):
+        path, cfg, p = tiny_pkl
+        import glob
+        cands = glob.glob(os.path.join(os.path.dirname(os.path.dirname(path)),
+                                       "*", "network-snapshot-p2.pkl"))
+        assert cands, "protocol-2 fixture missing"
+        nets = load_network_pkl_tensors(cands[0])
+        sd, _ = nets["G_ema"]
+        assert set(sd) == set(p)
 
     def test_load_eg3d_from_pkl_end_to_end(self, tiny_pkl):
         path, cfg, p = tiny_pkl
