@@ -107,6 +107,12 @@ class NersembleBenchmarkDataset(FaceDataset):
             if self.shape_params is None:
                 self.shape_params = np.asarray(
                     flame["shape_params"], np.float32).reshape(1, -1)
+            if "native_width" not in flame:
+                print(f"[nersemble] WARNING: {fp_path} lacks native_width/"
+                      "height — assuming the calibration K already matches "
+                      f"the working resolution {w}x{h}; if it is native-"
+                      "resolution the FOV will be wrong "
+                      "(re-export with scripts/prepare_nersemble.py)")
             native_w = float(flame.get("native_width", w))
             native_h = float(flame.get("native_height", h))
             scale = float(flame.get("scale", 1.0))
@@ -141,8 +147,16 @@ class NersembleBenchmarkDataset(FaceDataset):
 
         self.expressions = np.stack(exprs)
         self.flame_pose = np.stack(poses)
-        self.world_transforms = (
-            None if any(w_ is None for w_ in wts) else np.stack(wts))
+        if all(w_ is None for w_ in wts):
+            self.world_transforms = None         # pure legacy layout
+        else:
+            # mixed layouts: legacy frames carry their head pose inside
+            # pose15, so their world transform is the IDENTITY — dropping
+            # the transforms wholesale would zero the split-format frames'
+            # head pose silently
+            ident = np.asarray([0, 0, 0, 0, 0, 0, 1], np.float32)
+            self.world_transforms = np.stack(
+                [ident if w_ is None else w_ for w_ in wts])
         self.world_mats = np.tile(w2c[None], (len(self.records), 1, 1))
         self.mean_expression = self.expressions.mean(0, keepdims=True)
         self.var_expression = self.expressions.var(0, keepdims=True)

@@ -95,17 +95,29 @@ def main(argv=None):
         elif os.path.isdir(seq_root):
             test_seqs = sorted(os.listdir(seq_root))
         else:
-            test_seqs = [None]
-        # the reference pack loop: test sequences x (hold-outs + train
-        # serial), CRF-14 mp4s (run_nersemble_benchmark.py:101-137)
-        written = render_submission(
-            model, trainer.ts.params, trainer.ts.state,
-            args.root, participant,
-            sequences=[s for s in test_seqs if s is not None] or [],
-            serials=[*DEFAULT_HOLD_OUT_SERIALS, train_serial],
-            img_res=cfg.dataset.img_res, submit_dir=args.out,
-            render_cfg=common.render_config(cfg), crf=args.crf,
-        )
+            test_seqs = []
+        if test_seqs:
+            # the reference pack loop: test sequences x (hold-outs + train
+            # serial), CRF-14 mp4s (run_nersemble_benchmark.py:101-137)
+            written = render_submission(
+                model, trainer.ts.params, trainer.ts.state,
+                args.root, participant, sequences=test_seqs,
+                serials=[*DEFAULT_HOLD_OUT_SERIALS, train_serial],
+                img_res=cfg.dataset.img_res, submit_dir=args.out,
+                render_cfg=common.render_config(cfg), crf=args.crf,
+            )
+        else:
+            # legacy single-sequence layout: per-serial hold-out videos
+            from fateavatar_tpu.benchmark.nersemble import (
+                render_hold_out_serials,
+            )
+
+            written = render_hold_out_serials(
+                model, trainer.ts.params, trainer.ts.state,
+                args.root, participant, DEFAULT_HOLD_OUT_SERIALS,
+                cfg.dataset.img_res, os.path.join(args.out, participant),
+                common.render_config(cfg),
+            )
         print(f"[{participant}] wrote {len(written)} submission videos "
               f"-> {args.out}")
 

@@ -95,8 +95,10 @@ def autosize_render_config(
     frames = frames[:probe_views]
 
     @jax.jit
-    def _stats(params, state, expression, flame_pose, camera):
-        g, _, _ = build_gaussians(model, params, state, expression, flame_pose)
+    def _stats(params, state, expression, flame_pose, camera,
+               world_transform=None):
+        g, _, _ = build_gaussians(model, params, state, expression,
+                                  flame_pose, world_transform=world_transform)
         prep = preprocess(
             camera, g.xyz, g.get_scaling, g.get_rotation, g.get_opacity,
             g.get_features, g.sh_degree, alive=g.alive, stacked=False,
@@ -107,7 +109,8 @@ def autosize_render_config(
 
     total = max_t = n_big = 0
     for f in frames:
-        t, m, nb = _stats(params, state, f.expression, f.flame_pose, f.camera)
+        t, m, nb = _stats(params, state, f.expression, f.flame_pose, f.camera,
+                          getattr(f, "world_transform", None))
         total = max(total, int(jax.device_get(t)))
         max_t = max(max_t, int(jax.device_get(m)))
         n_big = max(n_big, int(jax.device_get(nb)))

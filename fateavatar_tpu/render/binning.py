@@ -114,9 +114,13 @@ def build_tile_lists(
     visible_s = visible[order]
 
     rmin_x, rmin_y, rmax_x, rmax_y = gaussian_rect(mean2d_s, radius_s, grid)
+    # rect_w's max(., 1) is DIVISION safety for the rect walk only; the
+    # touched count uses the raw width so a rect fully clipped off an edge
+    # (min == max after gaussian_rect's grid clamp) emits ZERO candidates —
+    # CUDA getRect semantics (auxiliary.h:46-56)
     rect_w = jnp.maximum(rmax_x - rmin_x, 1)
     rect_h = rmax_y - rmin_y
-    n_tiles_touched = rect_w * rect_h
+    n_tiles_touched = (rmax_x - rmin_x) * rect_h
 
     # 2. candidate instance expansion: walk the rect row-major with a
     # DYNAMIC width, so any rect shape with area <= R is fully covered
@@ -242,9 +246,9 @@ def build_instance_lists(
 
         rmin_x, rmin_y, rmax_x, rmax_y = gaussian_rect(
             mean2d_s, radius_s, grid)
-        rect_w = jnp.maximum(rmax_x - rmin_x, 1)
+        rect_w = jnp.maximum(rmax_x - rmin_x, 1)   # division safety only
         n_tiles_touched = jnp.where(
-            visible_s, rect_w * (rmax_y - rmin_y), 0)
+            visible_s, (rmax_x - rmin_x) * (rmax_y - rmin_y), 0)
         dropped = jnp.sum(jnp.maximum(n_tiles_touched - R, 0))
         touched_capped = jnp.minimum(n_tiles_touched, R)
 
@@ -327,8 +331,9 @@ def build_instance_lists(
         visible_s = visible
 
     rmin_x, rmin_y, rmax_x, rmax_y = gaussian_rect(mean2d_s, radius_s, grid)
-    rect_w = jnp.maximum(rmax_x - rmin_x, 1)
-    n_tiles_touched = jnp.where(visible_s, rect_w * (rmax_y - rmin_y), 0)
+    rect_w = jnp.maximum(rmax_x - rmin_x, 1)       # division safety only
+    n_tiles_touched = jnp.where(
+        visible_s, (rmax_x - rmin_x) * (rmax_y - rmin_y), 0)
 
     if sort_mode == "twotier":
         # Per-gaussian caps: everyone gets R0; the K largest-footprint

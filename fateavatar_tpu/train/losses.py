@@ -234,13 +234,16 @@ def vgg_perceptual_loss(params, pred, gt, resize: bool = True, dtype=None):
     the per-block L1 reductions always accumulate in float32."""
     if pred.ndim == 3:
         pred, gt = pred[None], gt[None]
+    mean, std = _IMAGENET_MEAN, _IMAGENET_STD
     if dtype is not None:
         # lower the precision BEFORE normalize/resize: the 512->224
         # bilinear resample (fwd + transpose) is bandwidth-bound and the
-        # result feeds a `dtype` conv stack anyway
+        # result feeds a `dtype` conv stack anyway. The mean/std must be
+        # cast too — a float32 operand would silently promote back.
         pred, gt = pred.astype(dtype), gt.astype(dtype)
-    pred = (pred - _IMAGENET_MEAN) / _IMAGENET_STD
-    gt = (gt - _IMAGENET_MEAN) / _IMAGENET_STD
+        mean, std = mean.astype(dtype), std.astype(dtype)
+    pred = (pred - mean) / std
+    gt = (gt - mean) / std
     if resize:
         pred = _bilinear_resize(pred, 224)
         gt = _bilinear_resize(gt, 224)

@@ -91,6 +91,7 @@ class Trainer:
             for i in range(min(4, len(train_dataset))):
                 s = train_dataset.sample(i)
                 cam_pose = np.asarray(s["cam_pose"], np.float32)
+                wt = s.get("world_transform")
                 probes.append(_Frame(
                     expression=jnp.asarray(s["expression"], jnp.float32),
                     flame_pose=jnp.asarray(s["flame_pose"], jnp.float32),
@@ -100,6 +101,8 @@ class Trainer:
                         model.cfg.img_width, model.cfg.img_height,
                         intrinsics=s.get("intrinsics_K")),
                     rgb=jnp.zeros((1, 1, 3)), bg_color=jnp.ones(3),
+                    world_transform=(None if wt is None
+                                     else jnp.asarray(wt, jnp.float32)),
                 ))
             render_cfg = autosize_render_config(
                 model, params, state, probes,
@@ -145,10 +148,11 @@ class Trainer:
             self.ts: TrainState = init_train_state(
                 params, state, optimizer, seed)
 
-            def _forward(p, st, expr, pose, camera):
+            def _forward(p, st, expr, pose, camera, world_transform=None):
                 return fateavatar_forward(
                     model, p, st, expr, pose, camera,
                     bg_color=self.bg_color, render_cfg=render_cfg,
+                    world_transform=world_transform,
                 )
 
             self._forward = _forward
@@ -726,8 +730,10 @@ class Trainer:
             tables = self.test_tables if mode == "test" else self.train_tables
 
         fwd = jax.jit(
-            lambda p, s, e, fp, cam:
-            self._forward(p, s, e, fp, cam)["rgb_image"]
+            lambda p, s, e, fp, cam, wt=None:
+            (self._forward(p, s, e, fp, cam)
+             if wt is None else
+             self._forward(p, s, e, fp, cam, wt))["rgb_image"]
         )
 
         # drop meters whose backing network weights are unavailable (LPIPS
@@ -751,7 +757,7 @@ class Trainer:
             frame = self._make_frame(sample, tables,
                                      cache=ds is self.train_dataset)
             img = fwd(self.ts.params, self.ts.state, frame.expression,
-                      frame.flame_pose, frame.camera)
+                      frame.flame_pose, frame.camera, frame.world_transform)
             names.append(sample["img_name"])
             pending.append(dev_metrics(img, frame.rgb))
             hrow = {}
@@ -884,10 +890,18 @@ class Trainer:
 
         tables = self.train_tables if self.tracking_enabled else None
         frame = self._make_frame(sample, tables)
-        if self._visualize is None:  # families without diagnostic renders
-            out = self._forward(self.ts.params, self.ts.state,
-                                frame.expression, frame.flame_pose,
-                                frame.camera)
+        # families without diagnostic renders — and world-transform frames
+        # (the multi-panel visualization path doesn't thread the
+        # model-to-world pose) — get the simple pred/gt/heat snapshot
+        if self._visualize is None or frame.world_transform is not None:
+            if frame.world_transform is not None:
+                out = self._forward(self.ts.params, self.ts.state,
+                                    frame.expression, frame.flame_pose,
+                                    frame.camera, frame.world_transform)
+            else:
+                out = self._forward(self.ts.params, self.ts.state,
+                                    frame.expression, frame.flame_pose,
+                                    frame.camera)
             pred = np.asarray(out["rgb_image"])
             gt = self._rgb_f32(frame.rgb)
             l1 = np.abs(pred - gt).mean(-1, keepdims=True)

@@ -83,6 +83,18 @@ def export_participant(
         os.makedirs(sdir, exist_ok=True)
 
         native_w = native_h = None
+        if not export_images:
+            # test-sequence exports still MUST record the native image size
+            # — the dataset rescales the calibration K by native/working
+            # resolution, and a missing value breaks every submission
+            # render's FOV. Probe one frame's shape without saving it.
+            try:
+                probe_img = np.asarray(manager.load_image(seq, train_serial, 0))
+                native_h, native_w = probe_img.shape[:2]
+            except Exception:
+                log_fn(f"[prepare] WARNING: {seq}: could not probe the "
+                       "native image size; set native_width/height in "
+                       "flame_params.json manually")
         if export_images:
             img_dir = os.path.join(sdir, "images", train_serial)
             os.makedirs(img_dir, exist_ok=True)
