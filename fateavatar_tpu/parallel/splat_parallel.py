@@ -133,8 +133,10 @@ def render_shard_body(
     rminx, rminy, rmaxx, rmaxy = binning.gaussian_rect(
         jax.lax.stop_gradient(mean2d), prep.radius, grid
     )
-    rect_w = jnp.maximum(rmaxx - rminx, 1)
-    touched = jnp.where(prep.visible, rect_w * (rmaxy - rminy), 0)
+    rect_w = jnp.maximum(rmaxx - rminx, 1)   # division safety only
+    # raw width in the count: a rect fully clipped off an edge emits ZERO
+    # candidates (CUDA getRect semantics; matches binning.py)
+    touched = jnp.where(prep.visible, (rmaxx - rminx) * (rmaxy - rminy), 0)
     r_lin = jnp.arange(R, dtype=jnp.int32)[None, :]
     cand_x = rminx[:, None] + r_lin % rect_w[:, None]
     cand_y = rminy[:, None] + r_lin // rect_w[:, None]

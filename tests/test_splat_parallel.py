@@ -235,6 +235,13 @@ def test_mesh2d_realistic_shapes():
     weak #5): 256^2 image (16 tile rows / 4 per gauss device), 16k splats
     (18k capacity) — loss parity vs the single-device step to tight tolerance,
     in-jit sharded densify, and the tracking adapter, all at these shapes."""
+    import gc
+
+    # the heaviest test in the suite: drop every compiled executable the
+    # ~300 preceding tests accumulated (a full-suite run on this host
+    # aborted inside this test from accumulated allocations otherwise)
+    jax.clear_caches()
+    gc.collect()
     from fateavatar_tpu.flame import synthetic_flame
     from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
     from fateavatar_tpu.parallel.mesh2d import (
