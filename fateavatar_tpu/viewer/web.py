@@ -44,17 +44,26 @@ button { margin-top: 8px; }
 <script>
 const NEXP = %(n_exp)d;
 let state = {yaw: 0, pitch: 0, zoom: 1, exp: new Array(NEXP).fill(0),
-             jaw: 0, playing: false, frame: 0, tracked: false};
+             jaw: 0, playing: false, frame: 0, tracked: false,
+             fov: 0.8, neck: [0, 0, 0]};
 const sliders = document.getElementById('sliders');
-function addSlider(name, min, max, get, set) {
+function addSlider(name, min, max, get, set, step) {
   const l = document.createElement('label');
   l.textContent = name;
   const s = document.createElement('input');
-  s.type = 'range'; s.min = min; s.max = max; s.step = 0.01; s.value = get();
+  s.type = 'range'; s.min = min; s.max = max;
+  s.step = step || 0.01; s.value = get();
   s.oninput = () => { set(parseFloat(s.value)); dirty = true; };
   l.appendChild(s); sliders.appendChild(l);
 }
+// camera controls (tools/gui.py:276-360: FoV + orbit sliders)
+addSlider('fov', 0.2, 1.4, () => state.fov, v => state.fov = v);
+addSlider('frame', 0, 9999, () => state.frame,
+          v => state.frame = Math.round(v), 1);
 addSlider('jaw', 0, 0.5, () => state.jaw, v => state.jaw = v);
+// neck rotation (tools/gui.py:386-401)
+['neck x', 'neck y', 'neck z'].forEach((n, i) =>
+  addSlider(n, -0.6, 0.6, () => state.neck[i], v => state.neck[i] = v));
 for (let i = 0; i < Math.min(NEXP, 8); i++)
   addSlider('exp ' + i, -3, 3, () => state.exp[i], v => state.exp[i] = v);
 
@@ -194,9 +203,9 @@ def make_avatar_render_fn(model, params, state, dataset=None,
     h, w = model.cfg.img_height, model.cfg.img_width
 
     @jax.jit
-    def _render(expr, pose, cam_t):
+    def _render(expr, pose, cam_t, fov):
         camera = make_camera(
-            jnp.eye(3), cam_t, 0.8, 0.8, w, h
+            jnp.eye(3), cam_t, fov, fov, w, h
         )
         return fateavatar_forward(
             model, params, state, expr, pose, camera, render_cfg=render_cfg
@@ -223,6 +232,9 @@ def make_avatar_render_fn(model, params, state, dataset=None,
             expr[: len(vals)] = np.asarray(vals, np.float32)[:n_exp]
             pose = np.zeros(15, np.float32)
             pose[6] = ui.get("jaw", 0.0)
+            neck = ui.get("neck")
+            if neck:
+                pose[3:6] = np.asarray(neck, np.float32)[:3]
         # orbit as head rotation
         pose[0] = -float(ui.get("pitch", 0.0))
         pose[1] = float(ui.get("yaw", 0.0))
@@ -230,7 +242,8 @@ def make_avatar_render_fn(model, params, state, dataset=None,
                          np.float32)
         t0 = time.perf_counter()
         img = _render(jnp.asarray(expr), jnp.asarray(pose),
-                      jnp.asarray(cam_t))
+                      jnp.asarray(cam_t),
+                      jnp.asarray(float(ui.get("fov", 0.8)), jnp.float32))
         jax.block_until_ready(img)
         device_ms = (time.perf_counter() - t0) * 1000.0
         return img, device_ms

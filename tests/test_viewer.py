@@ -81,3 +81,16 @@ def test_http_round_trip_serves_device_ms():
             assert "X-Device-Ms" in page
     finally:
         srv.shutdown()
+
+
+def test_fov_and_neck_controls():
+    """FoV and neck sliders (the reference GUI's camera/FLAME controls,
+    tools/gui.py:276-401) change the render."""
+    model, params, state = _avatar()
+    fn = make_avatar_render_fn(model, params, state, render_cfg=RENDER_CFG)
+    base, _ = fn({"playing": False})
+    wide, _ = fn({"playing": False, "fov": 1.3})
+    neck, _ = fn({"playing": False, "neck": [0.0, 0.5, 0.0]})
+    import jax.numpy as jnp
+    assert float(jnp.abs(wide - base).max()) > 1e-3
+    assert float(jnp.abs(neck - base).max()) > 1e-3
