@@ -35,6 +35,7 @@ from fateavatar_tpu.render.binning import TILE
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
+T_EPS = 1.0e-4  # renderCUDA's termination threshold (forward.cu:347)
 P = TILE * TILE
 ROW = 16
 CHUNK = 128  # instances per DMA; lane-aligned
@@ -115,7 +116,7 @@ def _fwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
         get_dma(0, 0).start()
 
     def body(carry):
-        i, t_carry, acc_r, acc_g, acc_b = carry
+        i, t_carry, q_carry, acc_r, acc_g, acc_b = carry
         slot = i % 2
 
         @pl.when(i + 1 < nchunk)
@@ -129,27 +130,39 @@ def _fwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
         alpha, _, _, _, _, _, _ = _chunk_math(data, px, py)
         alpha = alpha * in_range
         om = 1.0 - alpha
-        t_incl = _cumprod_sublanes(om)
+        t_incl = _cumprod_sublanes(om)              # UNMASKED cumulative
+        # CUDA termination (forward.cu:346-351): q = unmasked global
+        # transmittance is monotone, so q >= T_EPS is the sticky done
+        # flag; the crossing instance is dropped and T freezes before it
+        # (t_carry == q_carry while anything is kept, so weights use
+        # q_carry; t_carry tracks the frozen CUDA T via min-over-kept).
+        q_incl = q_carry * t_incl
+        keep_t = (q_incl >= T_EPS).astype(jnp.float32)
         t_excl = t_incl / om
-        w = alpha * t_excl * t_carry
+        w = alpha * keep_t * t_excl * q_carry
         acc_r = acc_r + jnp.sum(w * data[:, 5:6], axis=0, keepdims=True)
         acc_g = acc_g + jnp.sum(w * data[:, 6:7], axis=0, keepdims=True)
         acc_b = acc_b + jnp.sum(w * data[:, 7:8], axis=0, keepdims=True)
-        t_carry = t_carry * t_incl[CHUNK - 1 : CHUNK, :]
-        return i + 1, t_carry, acc_r, acc_g, acc_b
+        t_carry = jnp.min(
+            jnp.where(keep_t > 0.0, q_incl,
+                      jnp.broadcast_to(t_carry, q_incl.shape)),
+            axis=0, keepdims=True)
+        q_carry = q_incl[CHUNK - 1 : CHUNK, :]
+        return i + 1, t_carry, q_carry, acc_r, acc_g, acc_b
 
-    init = (jnp.int32(0), jnp.ones((1, P), jnp.float32)) + tuple(
+    init = (jnp.int32(0), jnp.ones((1, P), jnp.float32),
+            jnp.ones((1, P), jnp.float32)) + tuple(
         jnp.zeros((1, P), jnp.float32) for _ in range(3)
     )
     if cutoff > 0.0:
-        # stop once every pixel of the tile is saturated (the
-        # chunk-granular version of renderCUDA's per-pixel T < 1e-4 early
-        # exit, forward.cu:343-351; chunk-level is strictly more
-        # conservative, so results stay within the per-pixel semantics)
+        # stop once every pixel of the tile has terminated (q below the
+        # exit threshold). With the exact T_EPS semantics above, any
+        # cutoff <= T_EPS is PURE perf: every skipped instance would have
+        # been dropped by the keep mask anyway — bit-identical results.
         def cond(carry):
-            return (carry[0] < nchunk) & (jnp.max(carry[1]) >= cutoff)
+            return (carry[0] < nchunk) & (jnp.max(carry[2]) >= cutoff)
 
-        i_exit, t_final, ar, ag, ab = jax.lax.while_loop(cond, body, init)
+        i_exit, t_final, _, ar, ag, ab = jax.lax.while_loop(cond, body, init)
 
         # the last executed body prefetched chunk i_exit — drain it
         @pl.when((i_exit > 0) & (i_exit < nchunk))
@@ -157,7 +170,7 @@ def _fwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
             get_dma(i_exit % 2, i_exit).wait()
     else:
         # exact closed form: a fori_loop keeps the Mosaic pipeline simple
-        t_final, ar, ag, ab = jax.lax.fori_loop(
+        t_final, _, ar, ag, ab = jax.lax.fori_loop(
             0, nchunk, lambda i, c: body((i,) + c)[1:], init[1:]
         )
     bg = bg_ref[0]
@@ -209,7 +222,7 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
         get_dma(0, 0).start()
 
     def body(carry):
-        i, t_carry, pu = carry
+        i, q_carry, pu = carry
         slot = i % 2
 
         @pl.when(i + 1 < nchunk)
@@ -226,9 +239,17 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
         alpha = jnp.where(in_range, alpha, 0.0)
         keep = keep & in_range
         om = 1.0 - alpha
-        t_incl = _cumprod_sublanes(om)
+        t_incl = _cumprod_sublanes(om)              # UNMASKED cumulative
+        # CUDA termination: same q >= T_EPS sticky mask as the forward;
+        # dropped instances get no gradient (backward.cu:486-488), and
+        # for every KEPT j the transmittance before j equals the
+        # unmasked one, so t_j can keep using the unmasked t_excl.
+        q_incl = q_carry * t_incl
+        term = q_incl >= T_EPS
+        keep = keep & term
+        alpha = jnp.where(term, alpha, 0.0)
         t_excl = t_incl / om
-        t_j = t_excl * t_carry
+        t_j = t_excl * q_carry
         w = alpha * t_j
 
         cl_r = data[:, 5:6]
@@ -247,12 +268,12 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
         )
         dalpha = jnp.where(keep, dalpha, 0.0)
 
-        not_clamped = raw < ALPHA_MAX
-        g_power = jnp.where(not_clamped, dalpha * alpha, 0.0)
-        g_op = jnp.sum(
-            jnp.where(not_clamped, dalpha * exp_power, 0.0),
-            axis=1, keepdims=True,
-        )
+        # CUDA does NOT gate gradients through the 0.99 alpha clamp
+        # (backward.cu:499,538,554): dL_dG = op * dL_dalpha, dL_dop =
+        # G * dL_dalpha unconditionally, so g_power uses the UNclamped
+        # raw = op * G (equal to alpha when not clamped)
+        g_power = dalpha * raw
+        g_op = jnp.sum(dalpha * exp_power, axis=1, keepdims=True)
 
         grows = jnp.concatenate([
             jnp.sum(g_power * (-ca * dx - cb * dy), axis=1, keepdims=True),
@@ -291,14 +312,15 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
             out_scratch[oslot] = grows.T             # [16, CHUNK]
             out_dma_for(i, oslot).start()
 
-        t_carry = t_carry * t_incl[CHUNK - 1 : CHUNK, :]
-        return i + 1, t_carry, pu[CHUNK - 1 : CHUNK]
+        q_carry = q_incl[CHUNK - 1 : CHUNK, :]
+        return i + 1, q_carry, pu[CHUNK - 1 : CHUNK]
 
     init = (jnp.int32(0), jnp.ones((1, P), jnp.float32),
             jnp.zeros((1, P), jnp.float32))
     if cutoff > 0.0:
         # must stop at the SAME chunk as the forward (same data, same
-        # condition) so truncated gradients match the truncated primal
+        # condition); with cutoff <= T_EPS every skipped instance is
+        # dropped by the keep mask anyway, so the exit is pure perf
         def loop_cond(carry):
             return (carry[0] < nchunk) & (jnp.max(carry[1]) >= cutoff)
 

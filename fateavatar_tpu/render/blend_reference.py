@@ -1,14 +1,21 @@
 """Reference (oracle) alpha-blend: pure JAX, differentiable by autodiff.
 
 Mirrors the per-pixel front-to-back compositing of ``renderCUDA``
-(diff-gaussian-rasterization cuda_rasterizer/forward.cu:261-374) with one
-deliberate semantic change shared by the Pallas kernel: the CUDA early-exit
-at transmittance T < 1e-4 is treated as the performance optimization it is —
-we keep compositing (contributions past that point are bounded by 1e-4), so
-the blend becomes a closed-form cumulative product that is fully
-vectorizable and cleanly differentiable. The alpha clamps are kept exactly:
-alpha = min(0.99, opacity * exp(power)), contributions with power > 0 or
-alpha < 1/255 are skipped (forward.cu:335-345).
+(diff-gaussian-rasterization cuda_rasterizer/forward.cu:261-374)
+INCLUDING the T < 1e-4 termination semantics (forward.cu:346-351): the
+instance whose blend would push transmittance below 1e-4 is DROPPED
+(``done = true; continue`` fires before the color accumulation), and every
+instance behind it is dropped too. This is part of the function the CUDA
+rasterizer computes, not just an early-exit optimization — on saturated
+pixels it changes t_final by orders of magnitude and cuts gradients to
+occluded instances (divergence found by tests/cuda_oracle.py in round 3).
+
+In closed form: the unmasked inclusive transmittance q_j = prod_{i<=j}
+(1 - alpha_i) is monotone non-increasing, and before the first crossing
+the masked and unmasked products coincide, so CUDA's sticky ``done`` flag
+is exactly the stop-gradient mask q_j >= 1e-4. The alpha clamps are kept
+exactly: alpha = min(0.99, opacity * exp(power)), contributions with
+power > 0 or alpha < 1/255 are skipped (forward.cu:335-345).
 
 This module is the kernel oracle (SURVEY.md §4 layer (b)) and the CPU
 fallback path. O(pixels x N) — use for small scenes and tests.
@@ -24,6 +31,7 @@ from fateavatar_tpu.render.preprocess import Preprocessed
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
+T_EPS = 1e-4  # renderCUDA's termination threshold (forward.cu:347)
 
 
 def blend_reference(
@@ -64,7 +72,13 @@ def blend_reference(
         -0.5 * (a[:, None, None] * dx * dx + c[:, None, None] * dy * dy)
         - b[:, None, None] * dx * dy
     )
-    alpha = jnp.minimum(ALPHA_MAX, opacity[:, None, None] * jnp.exp(power))
+    # STRAIGHT-THROUGH 0.99 clamp: the CUDA backward does NOT gate
+    # gradients through min(0.99, op*G) — it uses dL_dG = op * dL_dalpha
+    # and dL_dop = G * dL_dalpha unconditionally (backward.cu:499,538,554),
+    # so saturated splats keep receiving opacity/position gradients. Value
+    # is clamped; gradient passes as if alpha = op * G.
+    raw = opacity[:, None, None] * jnp.exp(power)
+    alpha = raw + jax.lax.stop_gradient(jnp.minimum(ALPHA_MAX, raw) - raw)
     contributes = (power <= 0.0) & (alpha >= ALPHA_MIN) & visible[:, None, None]
 
     if respect_tile_culling:
@@ -80,6 +94,16 @@ def blend_reference(
         contributes = contributes & in_rect
 
     alpha = jnp.where(contributes, alpha, 0.0)
+
+    # CUDA termination (forward.cu:346-351): the instance that would push
+    # T below 1e-4 is dropped, and everything behind it with it. The
+    # UNMASKED cumulative product is monotone non-increasing and agrees
+    # with the masked one up to the first crossing, so q >= T_EPS is
+    # exactly the sticky done flag; the decision itself carries no
+    # gradient (CUDA gives dropped instances none).
+    q_incl = jnp.cumprod(1.0 - alpha, axis=0)
+    keep = jax.lax.stop_gradient(q_incl) >= T_EPS
+    alpha = jnp.where(keep, alpha, 0.0)
 
     # exclusive cumulative transmittance over depth order
     one_minus = 1.0 - alpha

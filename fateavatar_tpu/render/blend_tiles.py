@@ -35,6 +35,7 @@ from fateavatar_tpu.render.binning import TILE
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
+T_EPS = 1.0e-4  # renderCUDA's termination threshold (forward.cu:347)
 P = TILE * TILE  # pixels per tile
 
 
@@ -65,7 +66,11 @@ def _alpha(mean2d, conic, opacity, valid, px, py):
     dy = mean2d[:, 1:2] - py[None, :]
     a, b, c = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    alpha = jnp.minimum(ALPHA_MAX, opacity[:, None] * jnp.exp(power))
+    # straight-through 0.99 clamp: CUDA's backward does not gate gradients
+    # through min(0.99, op*G) (backward.cu:499,538,554) — value clamped,
+    # gradient as if alpha = op * G
+    raw = opacity[:, None] * jnp.exp(power)
+    alpha = raw + jax.lax.stop_gradient(jnp.minimum(ALPHA_MAX, raw) - raw)
     keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid[:, None]
     return jnp.where(keep, alpha, 0.0)
 
@@ -108,21 +113,29 @@ def blend_tiles_xla(
         nchunk = mean2d.shape[0] // chunk
 
         def step(carry, ch):
-            t_carry, accum = carry
+            t_carry, q_carry, accum = carry
             m, cn, cl, op, vl = ch
             alpha = _alpha(m, cn, op, vl, px, py)          # [C, P]
+            # CUDA termination (forward.cu:346-351): q is the UNMASKED
+            # cumulative transmittance — monotone, so q >= T_EPS is the
+            # sticky done flag; the crossing instance itself is dropped
+            q_incl = q_carry[None, :] * jnp.cumprod(1.0 - alpha, axis=0)
+            keep = jax.lax.stop_gradient(q_incl) >= T_EPS
+            alpha = jnp.where(keep, alpha, 0.0)
             om = 1.0 - alpha
             t_incl = jnp.cumprod(om, axis=0)
             t_excl = jnp.concatenate([jnp.ones_like(t_incl[:1]), t_incl[:-1]])
             w = alpha * t_excl * t_carry[None, :]          # [C, P]
             accum = accum + jnp.einsum("cp,cd->dp", w, cl)
             t_carry = t_carry * t_incl[-1]
-            return (t_carry, accum), None
+            q_carry = q_incl[-1]
+            return (t_carry, q_carry, accum), None
 
         reshape = lambda x: x.reshape((nchunk, chunk) + x.shape[1:])
-        (t_final, accum), _ = jax.lax.scan(
+        (t_final, _, accum), _ = jax.lax.scan(
             step,
-            (jnp.ones((P,), jnp.float32), jnp.zeros((3, P), jnp.float32)),
+            (jnp.ones((P,), jnp.float32), jnp.ones((P,), jnp.float32),
+             jnp.zeros((3, P), jnp.float32)),
             tuple(map(reshape, (mean2d, conic, color, opacity, valid))),
         )
         img = accum + t_final[None, :] * bg[:, None]
@@ -201,15 +214,23 @@ def _fwd_kernel(count_ref, mean_ref, conic_ref, color_ref, opac_ref, valid_ref,
     nchunk = (count + chunk - 1) // chunk
 
     def body(i, carry):
-        t_carry, accum = carry
+        t_carry, q_carry, accum = carry
         c0 = i * chunk
         alpha, _, _, _, _, _, _ = _chunk_alpha(
             mean_ref, conic_ref, opac_ref, valid_ref, c0, chunk, px, py
         )
         om = 1.0 - alpha
-        t_incl = _cumprod_sublanes(om)
+        t_incl = _cumprod_sublanes(om)            # UNMASKED cumulative
+        # CUDA termination (forward.cu:346-351): q = unmasked global
+        # transmittance is monotone, so q >= T_EPS is the sticky done
+        # flag (the crossing instance is dropped, T freezes before it).
+        # t_carry == q_carry while any instance is kept, so the weights
+        # use q_carry; t_carry is the frozen CUDA T (the min over kept
+        # q values — q is decreasing — falling back to the old t_carry).
+        q_incl = q_carry * t_incl                 # [C, P]
+        keep_t = (q_incl >= T_EPS).astype(jnp.float32)
         t_excl = t_incl / om                      # om >= 0.01 by the 0.99 clamp
-        w = alpha * t_excl * t_carry              # [C, P]
+        w = alpha * keep_t * t_excl * q_carry     # [C, P]
 
         cl_r = color_ref[0, pl.ds(c0, chunk), 0:1]
         cl_g = color_ref[0, pl.ds(c0, chunk), 1:2]
@@ -220,12 +241,17 @@ def _fwd_kernel(count_ref, mean_ref, conic_ref, color_ref, opac_ref, valid_ref,
             jnp.sum(w * cl_b, axis=0, keepdims=True),
         ], axis=0)                                # [3, P]
         accum = accum + contrib
-        t_carry = t_carry * t_incl[chunk - 1 : chunk, :]
-        return t_carry, accum
+        t_carry = jnp.min(
+            jnp.where(keep_t > 0.0, q_incl,
+                      jnp.broadcast_to(t_carry, q_incl.shape)),
+            axis=0, keepdims=True)
+        q_carry = q_incl[chunk - 1 : chunk, :]
+        return t_carry, q_carry, accum
 
-    t_final, accum = jax.lax.fori_loop(
+    t_final, _, accum = jax.lax.fori_loop(
         0, nchunk, body,
-        (jnp.ones((1, P), jnp.float32), jnp.zeros((3, P), jnp.float32)),
+        (jnp.ones((1, P), jnp.float32), jnp.ones((1, P), jnp.float32),
+         jnp.zeros((3, P), jnp.float32)),
     )
     bg = bg_ref[0]                                # [3]
     img_ref[0, :, :] = accum + t_final * bg[:, None]
@@ -257,15 +283,22 @@ def _bwd_kernel(count_ref, mean_ref, conic_ref, color_ref, opac_ref, valid_ref,
     g_tfin = gtfin_ref[0]           # [1, P]
 
     def body(i, carry):
-        t_carry, prefix_r, prefix_g, prefix_b = carry
+        q_carry, prefix_r, prefix_g, prefix_b = carry
         c0 = i * chunk
         alpha, raw, keep, dx, dy, (ca, cb, cc), exp_power = _chunk_alpha(
             mean_ref, conic_ref, opac_ref, valid_ref, c0, chunk, px, py
         )
         om = 1.0 - alpha
-        t_incl = _cumprod_sublanes(om)
+        t_incl = _cumprod_sublanes(om)            # UNMASKED cumulative
+        # CUDA termination: same mask as the forward (q monotone => the
+        # q >= T_EPS test IS the sticky done flag); dropped instances get
+        # no gradient (backward.cu:486-488 contributor gating) and the
+        # transmittance before any KEPT j equals the unmasked one.
+        q_incl = q_carry * t_incl
+        keep = keep & (q_incl >= T_EPS)
+        alpha = jnp.where(q_incl >= T_EPS, alpha, 0.0)
         t_excl = t_incl / om
-        t_j = t_excl * t_carry                    # [C, P] transmittance before j
+        t_j = t_excl * q_carry                    # [C, P] transmittance before j
         w = alpha * t_j
 
         cl_r = color_ref[0, pl.ds(c0, chunk), 0:1]
@@ -298,9 +331,12 @@ def _bwd_kernel(count_ref, mean_ref, conic_ref, color_ref, opac_ref, valid_ref,
         )                                          # [C, P]
         dalpha = jnp.where(keep, dalpha, 0.0)
 
-        not_clamped = raw < ALPHA_MAX
-        g_power = jnp.where(not_clamped, dalpha * alpha, 0.0)
-        g_op_pix = jnp.where(not_clamped, dalpha * exp_power, 0.0)
+        # CUDA does NOT gate gradients through the 0.99 alpha clamp
+        # (backward.cu:499,538,554): dL_dG = op * dL_dalpha, dL_dop =
+        # G * dL_dalpha unconditionally, so g_power uses the UNclamped
+        # raw = op * G (equal to alpha when not clamped)
+        g_power = dalpha * raw
+        g_op_pix = dalpha * exp_power
 
         gopac_ref[0, pl.ds(c0, chunk), 0:1] = jnp.sum(
             g_op_pix, axis=1, keepdims=True
@@ -321,8 +357,8 @@ def _bwd_kernel(count_ref, mean_ref, conic_ref, color_ref, opac_ref, valid_ref,
             g_power * (-0.5 * dy * dy), axis=1, keepdims=True
         )
 
-        t_carry = t_carry * t_incl[chunk - 1 : chunk, :]
-        return (t_carry, pr[chunk - 1 : chunk],
+        q_carry = q_incl[chunk - 1 : chunk, :]
+        return (q_carry, pr[chunk - 1 : chunk],
                 pg[chunk - 1 : chunk], pb[chunk - 1 : chunk])
 
     jax.lax.fori_loop(

@@ -96,8 +96,20 @@ def compute_cov2d(
     tz = t[..., 2]
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
-    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
-    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+    # CUDA gradient semantics for the EWA clamp (backward.cu:168-176,
+    # 262-264): when |t.x/t.z| exceeds the limit, the x gradient is GATED
+    # to zero (x_grad_mul) and the clamped t.x = ±lim*t.z is treated as a
+    # CONSTANT w.r.t. t.z — plain autodiff through clip(x/z)*z would add
+    # a ±lim*dz term the CUDA backward does not have (z-grad divergence
+    # found by tests/cuda_oracle.py on near-camera gaussians, round 3).
+    txtz = t[..., 0] / tz
+    tytz = t[..., 1] / tz
+    in_x = (txtz >= -limx) & (txtz <= limx)
+    in_y = (tytz >= -limy) & (tytz <= limy)
+    tx_c = jax.lax.stop_gradient(jnp.clip(txtz, -limx, limx) * tz)
+    ty_c = jax.lax.stop_gradient(jnp.clip(tytz, -limy, limy) * tz)
+    tx = tx_c + jnp.where(in_x, t[..., 0] - jax.lax.stop_gradient(t[..., 0]), 0.0)
+    ty = ty_c + jnp.where(in_y, t[..., 1] - jax.lax.stop_gradient(t[..., 1]), 0.0)
 
     # SoA expansion of cov2d = (J W) V (J W)^T — see compute_cov3d docstring
     # for why no [N,2,3]/[N,3,3] intermediates are built.

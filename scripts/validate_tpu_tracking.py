@@ -103,13 +103,14 @@ def main(epochs: int = 3, frames: int = 50):
         tr.train_epoch()
 
     # batched test-time tracking fit (train/base.py:198-235): fit the test
-    # rows before evaluation
-    t0 = time.perf_counter()
-    tr.optimize_tracking(optim_epoch=3, batch=8)
-    dt = time.perf_counter() - t0
-    n_fit = 3 * len(test_ds)
-    print(f"[test-fit] {n_fit} row steps in {dt:.1f}s "
-          f"({n_fit / max(dt, 1e-9):.1f} it/s, batch=8)")
+    # rows before evaluation. First call pays the compile; second is warm.
+    for label in ("cold", "warm"):
+        t0 = time.perf_counter()
+        tr.optimize_tracking(optim_epoch=3, batch=8)
+        dt = time.perf_counter() - t0
+        n_fit = 3 * len(test_ds)
+        print(f"[test-fit {label}] {n_fit} row steps in {dt:.1f}s "
+              f"({n_fit / max(dt, 1e-9):.1f} it/s, batch=8)")
 
 
 if __name__ == "__main__":
