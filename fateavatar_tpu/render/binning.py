@@ -55,6 +55,14 @@ class InstanceLists(NamedTuple):
                             # gaussian's instances (original gaussian order;
                             # sentinel M_out) — the scatter-free transpose
                             # of the instance gather, used by the custom VJP
+    group_counts: jax.Array | None = None  # [N] int32 kept instances per
+                            # gaussian id (return_groups): with the ids
+                            # sorted by gaussian, group i spans
+                            # [excl-cumsum(counts)[i], +counts[i]) — the
+                            # sort-based (scatter-free) gather transpose
+    group_tail: jax.Array | None = None    # [K] int32 gaussian ids allowed
+                            # more than tail_r0 instances (twotier tail;
+                            # None for single-tier modes)
 
 
 def tile_grid(width: int, height: int) -> tuple:
@@ -182,7 +190,7 @@ def build_tile_lists(
 @partial(jax.jit, static_argnames=(
     "grid", "max_tiles_per_gaussian", "instance_budget", "chunk", "sort_mode",
     "count_block", "return_slots", "relayout", "layout", "tail_r0",
-    "tail_k"))
+    "tail_k", "return_groups"))
 def build_instance_lists(
     mean2d: jax.Array,
     depth: jax.Array,
@@ -198,6 +206,7 @@ def build_instance_lists(
     layout: str = "aligned",
     tail_r0: int = 4,
     tail_k: int = 0,
+    return_groups: bool = False,
 ) -> InstanceLists:
     """Flat instance binning for the instance-range blend kernel: the same
     depth-sort + candidate expansion + compaction + stable tile sort as
@@ -566,6 +575,24 @@ def build_instance_lists(
             (comp_tiles, comp_depth, comp_gauss), num_keys=2, is_stable=False
         )
     # ('onesort' arrives here with sort_tiles/sort_gauss already built)
+    group_counts = group_tail = None
+    if return_groups:
+        # per-GAUSSIAN-ID instance counts for the sort-based gather
+        # transpose (render._take_packed_grouped). kept = the pre-drop
+        # survivor count per depth rank; one n-length sort inverts the
+        # depth order (sorts are ~40x cheaper than scatters on TPU).
+        if sort_mode not in ("onesort", "twotier"):
+            raise NotImplementedError(
+                f"return_groups requires 'onesort'/'twotier', "
+                f"got {sort_mode!r}")
+        kept = jnp.minimum(touched_capped, jnp.maximum(M - offsets, 0))
+        _, inv_order = jax.lax.sort(
+            (order.astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1,
+        )
+        group_counts = kept[inv_order]
+        if sort_mode == "twotier":
+            group_tail = order[sel_idx]
     raw_starts = jnp.searchsorted(
         sort_tiles, jnp.arange(num_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
@@ -583,6 +610,7 @@ def build_instance_lists(
             instances=sort_gauss,
             tile_starts=raw_starts,
             overflow=dropped, grid=grid,
+            group_counts=group_counts, group_tail=group_tail,
         )
 
     # chunk-aligned re-layout
@@ -646,6 +674,7 @@ def build_instance_lists(
         tile_starts=aligned_starts,
         overflow=dropped, grid=grid,
         slots=slots,
+        group_counts=group_counts, group_tail=group_tail,
     )
 
 

@@ -66,6 +66,11 @@ class RenderConfig:
     #     REJECTED (13.8 it/s — slot build + [N,R,16] row gather dominate).
     bwd_sorted_scatter: bool = struct.field(pytree_node=False, default=False)
     bwd_slots: bool = struct.field(pytree_node=False, default=False)
+    #   bwd_grouped — SCATTER-FREE transpose: one id-sort of the cotangent
+    #     rows + structured [N, r0] (+tail [K, R-r0]) row gathers using
+    #     binning's per-gaussian kept counts (_take_packed_grouped).
+    #     Requires binning 'onesort'/'twotier'.
+    bwd_grouped: bool = struct.field(pytree_node=False, default=False)
     # re-layout of sorted instances into the chunk-aligned array:
     # 'scatter' (XLA scatter) or 'gather' (small-searchsorted inverse map)
     relayout: str = struct.field(pytree_node=False, default="scatter")
@@ -176,6 +181,64 @@ def _take_packed_sorted_bwd(res, g):
 _take_packed_sorted.defvjp(_take_packed_sorted_fwd, _take_packed_sorted_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _take_packed_grouped(packed, ids, counts, tail_ids, r0, r_max):
+    """Instance gather whose transpose is SCATTER-FREE (binning 'groups').
+
+    The serial per-update scatter (~13 ns/row at 151k spatially-clustered
+    instances, the measured r2 floor) is replaced by known-fast primitives:
+    ONE m-length sort groups the cotangent rows by gaussian id, and since
+    binning knows each gaussian's kept-instance count, every gaussian's
+    rows sit at [excl-cumsum(counts)[i], +counts[i]) — two structured row
+    gathers + masked sums finish the reduction. With twotier binning only
+    the K tail gaussians may own more than ``r0`` rows, so the main gather
+    is [N, r0] (r0=4) instead of [N, R]: ~4x less gather volume than the
+    rejected r2 'slots' variant.
+    """
+    del counts, tail_ids
+    return jnp.take(packed, ids, axis=0).T
+
+
+def _take_packed_grouped_fwd(packed, ids, counts, tail_ids, r0, r_max):
+    return (_take_packed_grouped(packed, ids, counts, tail_ids, r0, r_max),
+            (ids, counts, tail_ids, packed.shape[0]))
+
+
+def _take_packed_grouped_bwd(r0, r_max, res, g):
+    ids, counts, tail_ids, n_rows = res               # g [16, m]
+    m = ids.shape[0]
+    n = counts.shape[0]
+    # sort instance slots by gaussian id (sentinel id n sorts last);
+    # pos[j] = which instance slot holds the j-th id-ordered row
+    _, pos = jax.lax.sort((ids, jnp.arange(m, dtype=jnp.int32)), num_keys=1)
+    g_by_id = jnp.take(g[:9].T, pos, axis=0)          # [m, 9] id-grouped
+    starts = jnp.cumsum(counts) - counts              # [n] exclusive
+    r = jnp.arange(r0, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(starts[:, None] + r, m - 1)
+    valid = r < jnp.minimum(counts, r0)[:, None]
+    rows = jnp.take(g_by_id, idx.reshape(-1), axis=0).reshape(n, r0, 9)
+    gsum = jnp.sum(jnp.where(valid[..., None], rows, 0.0), axis=1)
+    k_tail = tail_ids.shape[0]
+    if k_tail and r_max > r0:
+        # twotier tail: only these K gaussians may own rows r0..r_max
+        rt = jnp.arange(r0, r_max, dtype=jnp.int32)[None, :]
+        tidx = jnp.minimum(starts[tail_ids][:, None] + rt, m - 1)
+        tvalid = rt < counts[tail_ids][:, None]
+        trows = jnp.take(g_by_id, tidx.reshape(-1), axis=0
+                         ).reshape(k_tail, r_max - r0, 9)
+        tsum = jnp.sum(jnp.where(tvalid[..., None], trows, 0.0), axis=1)
+        gsum = gsum.at[tail_ids].add(tsum)            # K rows — negligible
+    gpacked = jnp.concatenate(
+        [gsum, jnp.zeros((n, g.shape[0] - 9), g.dtype)], axis=1)
+    gpacked = jnp.concatenate(
+        [gpacked, jnp.zeros((n_rows - n, g.shape[0]), g.dtype)], axis=0)
+    return gpacked, None, None, None
+
+
+_take_packed_grouped.defvjp(_take_packed_grouped_fwd,
+                            _take_packed_grouped_bwd)
+
+
 def render(
     camera: Camera,
     gaussians: Gaussians,
@@ -238,6 +301,8 @@ def render(
                      if config.binning in ("twokey", "count", "gather",
                                            "onesort", "twotier")
                      else "stable")
+        use_groups = (config.bwd_grouped
+                      and sort_mode in ("onesort", "twotier"))
         ilists = binning.build_instance_lists(
             (jax.lax.stop_gradient(mx), jax.lax.stop_gradient(my)),
             jax.lax.stop_gradient(prep.depth),
@@ -253,6 +318,7 @@ def render(
             layout=config.layout,
             tail_r0=config.tail_r0,
             tail_k=config.tail_k,
+            return_groups=use_groups,
         )
         n = mx.shape[0]
         # [10, N] stack of lane-major vectors (no relayout), ONE transpose
@@ -276,6 +342,14 @@ def render(
                 [ids, jnp.full((m_pad - m_real,), n, jnp.int32)])
         if ilists.slots is not None:
             inst_data = _take_packed(packed, ids, ilists.slots)  # [16, M]
+        elif use_groups and ilists.group_counts is not None:
+            tail = (ilists.group_tail if ilists.group_tail is not None
+                    else jnp.zeros((0,), jnp.int32))
+            r0 = (config.tail_r0 if sort_mode == "twotier"
+                  else config.max_tiles_per_gaussian)
+            inst_data = _take_packed_grouped(
+                packed, ids, ilists.group_counts, tail, r0,
+                config.max_tiles_per_gaussian)                   # [16, M]
         elif config.bwd_sorted_scatter:
             inst_data = _take_packed_sorted(packed, ids)         # [16, M]
         else:

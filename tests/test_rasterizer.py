@@ -378,6 +378,54 @@ class TestTileBlend:
                         np.asarray(gc[f]), np.asarray(gb[f]), atol=1e-6,
                         err_msg=f"sorted {mode} budget={budget} field={f}")
 
+    def test_grouped_grads_match_scatter_add(self):
+        """The fully scatter-free grouped VJP (RenderConfig.bwd_grouped:
+        one id-sort of the cotangent rows + structured [N, r0] (+tail)
+        row gathers over binning's per-gaussian kept counts) equals XLA's
+        gather-transpose scatter-add, for both 'onesort' and 'twotier'
+        binning, including under budget overflow (dropped instances) and
+        with dead gaussians."""
+        diff_fields = ("xyz", "scaling", "rotation", "opacity", "features_dc")
+
+        for seed, kill in ((27, False), (33, True)):
+            cam, g, bg = make_scene(60, seed=seed)
+            if kill:
+                g = g.replace(alive=g.alive.at[::4].set(False))
+            sub = {f: getattr(g, f) for f in diff_fields}
+
+            def wrap(cfg):
+                def loss(d):
+                    out = render(cam, g.replace(**d), bg, config=cfg)
+                    return (jnp.sum(out["render"] ** 2)
+                            + jnp.mean(out["t_final"]))
+                return jax.grad(loss)
+
+            for budget in (64, 60 * 36):
+                base = dict(impl="pallas_interpret", kernel="instances",
+                            instance_budget=budget)
+                variants = (
+                    dict(binning="onesort", **base),
+                    dict(binning="twotier", tail_r0=4, tail_k=8, **base),
+                    # tail_k=0 degenerates to the pure-r0 cap: exercises
+                    # the empty-tail branch of the grouped backward
+                    dict(binning="twotier", tail_r0=6, tail_k=0, **base),
+                )
+                for kw in variants:
+                    ga = wrap(RenderConfig(bwd_grouped=True, **kw))(sub)
+                    gb = wrap(RenderConfig(bwd_sorted_scatter=False,
+                                           **kw))(sub)
+                    for f in diff_fields:
+                        a, b = np.asarray(ga[f]), np.asarray(gb[f])
+                        # masked-sum vs segmented scatter-add reassociates
+                        # the fp32 reduction -> compare scale-normalized
+                        scale = max(np.abs(b).max(), 1e-6)
+                        np.testing.assert_allclose(
+                            a / scale, b / scale, atol=1e-5,
+                            err_msg=(f"grouped {kw.get('binning')} "
+                                     f"tail_k={kw.get('tail_k')} "
+                                     f"budget={budget} kill={kill} "
+                                     f"field={f}"))
+
     def test_instance_kernel_grads_match_xla(self):
         cam, g, bg = make_scene(40, seed=21)
 
