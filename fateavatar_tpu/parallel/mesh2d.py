@@ -242,9 +242,15 @@ def make_mesh2d_train_step(
     increase_num: int = 1024,
     min_opacity: float = 0.005,
     max_points_num: int = 0,
+    return_grads: bool = False,
 ):
     """Build the jitted 2-D-mesh training step:
     ``(TrainState, Frame[Bd]) -> (TrainState, aux)``.
+
+    ``return_grads`` adds the psum-replicated parameter gradients and the
+    per-frame probe gradients to ``aux`` (grad-parity tests vs the
+    single-device step; costs one extra device->host copy, leave off in
+    production).
 
     The caller places the TrainState with :func:`place_mesh2d` and the
     batched frames with ``NamedSharding(mesh, P(data_axis))`` (leading
@@ -400,8 +406,12 @@ def make_mesh2d_train_step(
 
         new_ts = TrainState(params=params, state=state,
                             opt_state=opt_state, step=step, key=key)
-        return new_ts, {"loss": loss, "overflow": overflow,
-                        "num_alive": jnp.sum(state.alive)}
+        aux = {"loss": loss, "overflow": overflow,
+               "num_alive": jnp.sum(state.alive)}
+        if return_grads:
+            aux["grads"] = grads
+            aux["probe_grad"] = probe_grad
+        return new_ts, aux
 
     return jax.jit(step_fn, donate_argnums=(0,))
 

@@ -344,3 +344,106 @@ def test_mesh2d_realistic_shapes():
     assert not np.allclose(before[0], after[0])     # refined row moved
     np.testing.assert_array_equal(before[2], after[2])   # masked row frozen
     np.testing.assert_array_equal(before[1], after[1])   # untouched row
+
+
+def test_mesh2d_grad_parity_after_densify():
+    """Per-leaf GRADIENT parity vs single device (VERDICT r2 item #6): a
+    reduction-order or psum bug that barely moves the first loss step must
+    not pass. Two mesh steps run first (the in-jit sharded densify fires
+    on step 2), then the gradients of the batch loss AT the post-densify
+    state — every parameter leaf plus the per-frame screen-space probe
+    grads (the densification signal) — are pinned against a single-device
+    jax.grad of the same loss to rtol 1e-4."""
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+    from fateavatar_tpu.flame import synthetic_flame
+    from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
+    from fateavatar_tpu.models.fateavatar import fateavatar_forward
+    from fateavatar_tpu.parallel.mesh2d import (
+        make_mesh2d_train_step, place_mesh2d,
+    )
+    from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
+    from fateavatar_tpu.train.optim import fateavatar_optimizers
+    from fateavatar_tpu.train.step import Frame, init_train_state
+    from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+
+    res, tex, capacity = 128, 32, 1536
+    flame = synthetic_flame(n_verts=128, n_shape=6, n_exp=4, seed=0)
+    cfg = FateAvatarConfig(tex_size=tex, capacity=capacity, img_height=res,
+                           img_width=res, normal_offset=0.02)
+    model, params, state = init_fateavatar(sphere_obj_mesh(128), flame, cfg)
+    opt = fateavatar_optimizers({})
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for _ in range(2):
+        cam = make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                          0.8, 0.8, res, res)
+        frames.append(Frame(
+            expression=jnp.asarray(rng.normal(size=4) * 0.2, jnp.float32),
+            flame_pose=jnp.asarray(rng.normal(size=15) * 0.05, jnp.float32),
+            camera=cam,
+            rgb=jnp.asarray(rng.random((res, res, 3)), jnp.float32),
+            bg_color=jnp.ones(3),
+        ))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "gauss"))
+    step = make_mesh2d_train_step(
+        model, opt, mesh, max_per_tile=256, chunk=32,
+        densify_interval=2, prune_interval=10**9, increase_num=128,
+        return_grads=True,
+    )
+    ts = place_mesh2d(init_train_state(params, state, opt), mesh)
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+    batch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+
+    ts, _ = step(ts, batch)
+    ts, aux2 = step(ts, batch)                  # densify fires here
+    # densify fired: alive grew beyond the tex^2 = 1024 initial splats
+    assert int(jax.device_get(aux2["num_alive"])) > tex * tex
+
+    # snapshot the post-densify state BEFORE the third (donating) call
+    params_pd = jax.tree.map(lambda x: jnp.array(jax.device_get(x)),
+                             ts.params)
+    state_pd = jax.tree.map(lambda x: jnp.array(jax.device_get(x)), ts.state)
+    _, aux3 = step(ts, batch)
+    mesh_grads = jax.device_get(aux3["grads"])
+    mesh_probe = np.asarray(jax.device_get(aux3["probe_grad"]))  # [2, 2, N]
+
+    # single-device gradients of the same batch loss at the same state
+    loss_fn = FateAvatarLoss(FateAvatarLossConfig(
+        rgb_weight=1.0, scale_weight=0.1, scale_threshold=9.0))
+    rcfg = RenderConfig(impl="xla", max_per_tile=256, chunk=32)
+
+    def batch_loss(p, probes):
+        total = 0.0
+        for k, f in enumerate(frames):
+            out = fateavatar_forward(
+                model, p, state_pd, f.expression, f.flame_pose, f.camera,
+                bg_color=f.bg_color, render_cfg=rcfg,
+                means2d_probe=probes[k])
+            total = total + loss_fn(out, {"rgb": f.rgb})["loss"]
+        return total / len(frames)
+
+    n = params_pd.scaling.shape[0]
+    ref_grads, ref_probe = jax.jit(jax.grad(batch_loss, argnums=(0, 1)))(
+        params_pd, jnp.zeros((2, 2, n), jnp.float32))
+
+    flat_m, _ = jax.tree_util.tree_flatten_with_path(mesh_grads)
+    flat_r = jax.tree_util.tree_leaves(ref_grads)
+    assert len(flat_m) == len(flat_r) and len(flat_r) >= 5
+    for (path, gm), gr in zip(flat_m, flat_r):
+        gm, gr = np.asarray(gm), np.asarray(gr)
+        scale = max(np.abs(gr).max(), 1e-8)
+        np.testing.assert_allclose(
+            gm / scale, gr / scale, atol=1e-4,
+            err_msg=f"mesh2d grad mismatch at {jax.tree_util.keystr(path)}")
+    # the densification signal: per-frame probe grads (summed into the
+    # stats by both paths) must match too
+    scale = max(np.abs(np.asarray(ref_probe)).max(), 1e-8)
+    np.testing.assert_allclose(mesh_probe / scale,
+                               np.asarray(ref_probe) / scale, atol=1e-4,
+                               err_msg="mesh2d probe-grad mismatch")
