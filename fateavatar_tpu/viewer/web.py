@@ -38,14 +38,18 @@ button { margin-top: 8px; }
   <div>drag to orbit &middot; wheel to zoom</div>
   <button id="play">play sequence</button>
   <button id="tracked">tracked params: off</button>
+  <button id="canonical">canonical pose: off</button>
   <button id="reset">reset</button>
+  <label>background
+    <select id="bg"><option>white</option><option>black</option>
+    <option>gray</option></select></label>
   <div id="sliders"></div>
 </div>
 <script>
 const NEXP = %(n_exp)d;
 let state = {yaw: 0, pitch: 0, zoom: 1, exp: new Array(NEXP).fill(0),
              jaw: 0, playing: false, frame: 0, tracked: false,
-             fov: 0.8, neck: [0, 0, 0]};
+             fov: 0.8, neck: [0, 0, 0], bg: 'white', canonical: false};
 const sliders = document.getElementById('sliders');
 function addSlider(name, min, max, get, set, step) {
   const l = document.createElement('label');
@@ -85,6 +89,14 @@ document.getElementById('tracked').onclick = e => {
   state.tracked = !state.tracked; dirty = true;
   e.target.textContent = 'tracked params: ' + (state.tracked ? 'on' : 'off');
 };
+// canonical-pose view: render the avatar's FLAME canonical exp/pose
+// (the reference viewer's manual-mode default, tools/gui.py:186-190)
+document.getElementById('canonical').onclick = e => {
+  state.canonical = !state.canonical; dirty = true;
+  e.target.textContent = 'canonical pose: ' + (state.canonical ? 'on' : 'off');
+};
+document.getElementById('bg').onchange = e => {
+  state.bg = e.target.value; dirty = true; };
 document.getElementById('reset').onclick = () => {
   state.yaw = 0; state.pitch = 0; state.zoom = 1;
   state.exp.fill(0); state.jaw = 0; dirty = true; };
@@ -93,7 +105,8 @@ let inflight = false;
 async function tick() {
   if ((dirty || state.playing) && !inflight) {
     dirty = false; inflight = true;
-    if (state.playing) state.frame++;
+    // pause-on-drag: autoplay holds the current frame while orbiting
+    if (state.playing && !dragging) state.frame++;
     const t0 = performance.now();
     const r = await fetch('/render', {method: 'POST',
       body: JSON.stringify(state)});
@@ -203,13 +216,25 @@ def make_avatar_render_fn(model, params, state, dataset=None,
     h, w = model.cfg.img_height, model.cfg.img_width
 
     @jax.jit
-    def _render(expr, pose, cam_t, fov):
+    def _render(expr, pose, cam_t, fov, bg):
         camera = make_camera(
             jnp.eye(3), cam_t, fov, fov, w, h
         )
         return fateavatar_forward(
-            model, params, state, expr, pose, camera, render_cfg=render_cfg
+            model, params, state, expr, pose, camera, bg_color=bg,
+            render_cfg=render_cfg
         )["rgb_image"]
+
+    _BG = {"white": np.ones(3, np.float32),
+           "black": np.zeros(3, np.float32),
+           "gray": np.full(3, 0.5, np.float32)}
+    _cano_exp = (np.zeros(n_exp, np.float32)
+                 if model.flame.canonical_exp is None else
+                 np.asarray(model.flame.canonical_exp, np.float32).reshape(-1))
+    _cano_pose = (np.zeros(15, np.float32)
+                  if model.flame.canonical_pose is None else
+                  np.asarray(model.flame.canonical_pose,
+                             np.float32).reshape(-1))
 
     if tables is not None:
         _t_expr = np.asarray(jax.device_get(tables.expression))
@@ -226,6 +251,11 @@ def make_avatar_render_fn(model, params, state, dataset=None,
                 s = dataset.sample(idx)
                 expr = np.asarray(s["expression"], np.float32)
                 pose = np.asarray(s["flame_pose"], np.float32).copy()
+        elif ui.get("canonical"):
+            # canonical-pose view (the reference viewer's manual-mode
+            # default, tools/gui.py:186-190); orbit still applies below
+            expr = _cano_exp[:n_exp].copy()
+            pose = _cano_pose[:15].copy()
         else:
             expr = np.zeros(n_exp, np.float32)
             vals = ui.get("exp", [])
@@ -240,10 +270,12 @@ def make_avatar_render_fn(model, params, state, dataset=None,
         pose[1] = float(ui.get("yaw", 0.0))
         cam_t = np.array([0.0, 0.0, camera_distance * float(ui.get("zoom", 1.0))],
                          np.float32)
+        bg = _BG.get(str(ui.get("bg", "white")), _BG["white"])
         t0 = time.perf_counter()
         img = _render(jnp.asarray(expr), jnp.asarray(pose),
                       jnp.asarray(cam_t),
-                      jnp.asarray(float(ui.get("fov", 0.8)), jnp.float32))
+                      jnp.asarray(float(ui.get("fov", 0.8)), jnp.float32),
+                      jnp.asarray(bg))
         jax.block_until_ready(img)
         device_ms = (time.perf_counter() - t0) * 1000.0
         return img, device_ms

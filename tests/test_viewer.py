@@ -83,6 +83,57 @@ def test_http_round_trip_serves_device_ms():
         srv.shutdown()
 
 
+def test_bg_color_toggle():
+    """Background select (white/black/gray): empty pixels take the chosen
+    color (the reference's get_bg_color surface, tools/util.py:138)."""
+    model, params, state = _avatar()
+    fn = make_avatar_render_fn(model, params, state, render_cfg=RENDER_CFG)
+    white, _ = fn({"playing": False, "bg": "white"})
+    black, _ = fn({"playing": False, "bg": "black"})
+    gray, _ = fn({"playing": False, "bg": "gray"})
+    w = np.asarray(white)
+    b = np.asarray(black)
+    g = np.asarray(gray)
+    # corner pixels are background at this zoom
+    assert np.allclose(w[0, 0], 1.0, atol=1e-3)
+    assert np.allclose(b[0, 0], 0.0, atol=1e-3)
+    assert np.allclose(g[0, 0], 0.5, atol=1e-3)
+
+
+def test_canonical_pose_view():
+    """The canonical toggle renders the FLAME canonical exp/pose (the
+    reference viewer's manual-mode default, tools/gui.py:186-190) and
+    ignores the sliders; orbit still applies."""
+    model, params, state = _avatar()
+    # make the canonical conditioning differ from zeros
+    flame = model.flame.replace(
+        canonical_exp=jnp.full((1, model.flame.n_exp), 0.7),
+        canonical_pose=jnp.zeros((1, 15)).at[0, 6].set(0.3),
+    )
+    model = model.replace(flame=flame)
+    fn = make_avatar_render_fn(model, params, state, render_cfg=RENDER_CFG)
+    zeros, _ = fn({"playing": False})
+    cano, _ = fn({"playing": False, "canonical": True,
+                  "exp": [2.0], "jaw": 0.5})
+    cano2, _ = fn({"playing": False, "canonical": True,
+                   "exp": [-2.0], "jaw": 0.0})
+    assert float(jnp.abs(cano - zeros).max()) > 1e-4   # canonical != zeros
+    np.testing.assert_allclose(np.asarray(cano), np.asarray(cano2),
+                               atol=1e-6)              # sliders ignored
+    orbited, _ = fn({"playing": False, "canonical": True, "yaw": 0.6})
+    assert float(jnp.abs(orbited - cano).max()) > 1e-4  # orbit still live
+
+
+def test_page_carries_new_controls():
+    """Pause-on-drag ships in the page script; bg/canonical controls are
+    present (per-control checklist, docs/PARITY.md)."""
+    from fateavatar_tpu.viewer.web import _PAGE
+
+    page = _PAGE % {"w": 32, "h": 32, "n_exp": 4}
+    assert "state.playing && !dragging" in page        # pause on drag
+    assert 'id="bg"' in page and "canonical pose" in page
+
+
 def test_fov_and_neck_controls():
     """FoV and neck sliders (the reference GUI's camera/FLAME controls,
     tools/gui.py:276-401) change the render."""
