@@ -582,6 +582,13 @@ class Trainer:
         if t_steady is not None and n > 3:
             self._per_step_its = (n - 3) / max(
                 time.perf_counter() - t_steady, 1e-9)
+        self.last_epoch_stats = {
+            "epoch": self.epoch, "mode": "per-step",
+            "its": n / max(dt, 1e-9), "loss": meters["loss"].measure(),
+            "psnr": meters["psnr"].measure(),
+            "alive": (int(jnp.sum(self.ts.state.alive))
+                      if hasattr(self.ts.state, "alive") else None),
+        }
         self.logger.log(
             f"[epoch {self.epoch}] {n} frames in {dt:.1f}s "
             f"({n / max(dt, 1e-9):.2f} it/s) | loss={meters['loss'].measure():.5f} "
@@ -619,6 +626,13 @@ class Trainer:
             self.logger.file_only(
                 f"[WARN] {overflow} tile instances dropped "
                 "(raise max_per_tile)")
+        self.last_epoch_stats = {
+            "epoch": self.epoch, "mode": "scan",
+            "its": n / max(dt, 1e-9), "loss": float(np.mean(aux["loss"])),
+            "psnr": float(np.mean(aux["psnr"])),
+            "alive": (int(jnp.sum(self.ts.state.alive))
+                      if hasattr(self.ts.state, "alive") else None),
+        }
         self.logger.log(
             f"[epoch {self.epoch}] {n} frames in {dt:.1f}s "
             f"({n / max(dt, 1e-9):.2f} it/s, scan) "

@@ -2,9 +2,17 @@
 avatar at 512^2 / 65k splats THROUGH the Trainer loop (prefetch, meters,
 maintenance — not the bare bench step) and report trainer-loop it/s + PSNR.
 
+Emits ``VALIDATION_r<N>.json`` at the repo root (round from the VALIDATION_ROUND
+env var, default "0"): per-epoch PSNR/loss/it-s curve + config hash — the
+reproducible fidelity artifact that regresses quality round-over-round
+(VERDICT r2 item #7). The run FAILS (exit 1) if the final PSNR falls below
+``--min-psnr`` (default 24.0, just under round 1's recorded 24.2).
+
 Usage: python scripts/validate_tpu_training.py [epochs] [frames]
 """
 
+import hashlib
+import json
 import os
 import sys
 import time
@@ -81,9 +89,35 @@ def main(epochs: int = 3, frames: int = 100):
                                     max_points_num=capacity),
         render_cfg=render_cfg, snapshot_interval=10**9,
     )
+    curve = []
     for _ in range(epochs):
         tr.epoch += 1
         tr.train_epoch()
+        curve.append(dict(tr.last_epoch_stats))
+
+    cfg_hash = hashlib.sha256(json.dumps(
+        dict(res=res, tex=tex, capacity=capacity, frames=frames,
+             epochs=epochs, render=str(render_cfg), backend=backend),
+        sort_keys=True).encode()).hexdigest()[:12]
+    round_id = os.environ.get("VALIDATION_ROUND", "0")
+    artifact = {
+        "round": round_id, "backend": backend, "config_hash": cfg_hash,
+        "res": res, "capacity": capacity, "frames": frames,
+        "curve": curve, "final_psnr": curve[-1]["psnr"],
+        "steady_its": max(e["its"] for e in curve),
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), f"VALIDATION_r{round_id}.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"[artifact] {out}: final PSNR {artifact['final_psnr']:.2f}, "
+          f"steady {artifact['steady_its']:.1f} it/s")
+
+    min_psnr = float(os.environ.get("MIN_PSNR", "24.0"))
+    if epochs >= 3 and artifact["final_psnr"] < min_psnr:
+        print(f"[FAIL] PSNR {artifact['final_psnr']:.2f} < {min_psnr} "
+              "(round-1 recorded 24.2 after 3 epochs)")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
