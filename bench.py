@@ -192,7 +192,10 @@ def main():
             def body(ts, _):
                 ts, aux = raw_step(ts, frame)
                 return ts, aux["overflow"]
-            return jax.lax.scan(body, ts, None, length=k)
+            # unroll=3: amortizes the while-loop's per-iteration sequencing
+            # overhead (~0.9 ms/step at this shape); A/B'd 86.4 -> 93.0 it/s
+            # (scripts/bench_bwd_ab.py, r3) with unroll=5 only +0.4 more
+            return jax.lax.scan(body, ts, None, length=k, unroll=3)
 
         state_box = {}
 

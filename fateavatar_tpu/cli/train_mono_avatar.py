@@ -57,6 +57,7 @@ def main(argv=None):
         snapshot_interval=cfg.training.snapshot_interval,
         device_frame_cache=cfg.training.device_frame_cache,
         lpips_weights_path=cfg.assets.lpips_weights_path,
+        scan_unroll=cfg.training.scan_unroll,
     )
     if args.resume:
         trainer.load_checkpoint()

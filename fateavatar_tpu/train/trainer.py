@@ -71,6 +71,7 @@ class Trainer:
         data_parallel: int = 0,
         device_frame_cache: str = "auto",
         lpips_weights_path=None,
+        scan_unroll: int = 1,
     ):
         self.name = name
         self.model = model
@@ -113,6 +114,12 @@ class Trainer:
         self.bg_color = jnp.asarray(bg_color, jnp.float32)
         self.snapshot_interval = snapshot_interval
         self.lpips_weights_path = lpips_weights_path
+        # scan-epoch unroll: body copies per while-loop iteration. >1
+        # amortizes the loop's per-iteration sequencing overhead (~0.9 ms
+        # at 512^2/65k, scripts/bench_bwd_ab.py A/B) at the cost of a
+        # proportionally bigger program; epochs whose length is not a
+        # multiple still work (lax.scan handles the remainder).
+        self.scan_unroll = max(1, int(scan_unroll))
 
         self.logger = Logger(name, workspace)
         self.epoch = 0
@@ -400,7 +407,7 @@ class Trainer:
                             "psnr": aux.get("psnr", zero),
                             "overflow": aux.get("overflow",
                                                 jnp.zeros((), jnp.int32))}
-            return jax.lax.scan(body, ts, fr)
+            return jax.lax.scan(body, ts, fr, unroll=self.scan_unroll)
 
         self._scan_epoch = (epoch_fn, stacked, False)
         self.logger.log(
@@ -475,7 +482,8 @@ class Trainer:
                     "psnr": aux.get("psnr", zero),
                     "overflow": aux.get("overflow", jnp.zeros((), jnp.int32)),
                 }
-            (ts, tables, tstate), auxs = jax.lax.scan(body, (ts, tables, tstate), xs)
+            (ts, tables, tstate), auxs = jax.lax.scan(
+                body, (ts, tables, tstate), xs, unroll=self.scan_unroll)
             return ts, tables, tstate, auxs
 
         self._scan_epoch = (epoch_fn, xs, True)

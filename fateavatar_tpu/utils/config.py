@@ -81,6 +81,10 @@ class TrainingSection:
     max_points_num: int = 200000
     snapshot_interval: int = 1000          # media snapshot cadence
     device_frame_cache: str = "auto"       # on | off | auto (HBM-resident uint8 gt)
+    scan_unroll: int = 3                   # scan-epoch body copies per loop
+                                           # iter; 3 removes the ~0.9 ms/step
+                                           # while-loop overhead on v5e
+                                           # (bench_bwd_ab A/B: 86.4->93 it/s)
     # baseline-family knobs
     densify_grad_threshold: float = 1e-4   # gaussianavatars clone/split gate
     densify_from_iter: int = 10000         # gaussianavatars densify warmup

@@ -1,80 +1,645 @@
-"""Sweep render-config knobs on the full train step (one process, one
-device claim) — the tunnel-friendly way to compare configurations."""
+"""Full BASELINE.json config-matrix sweep on the real chip (VERDICT r2
+item #4): one JSON artifact covering every benchmark config the reference
+publishes plus the four baseline model families.
 
+Sections (run all, or ``--only a,b,c``; results MERGE into the artifact so
+a failed section can be re-run alone):
+
+  render      — (BASELINE config 1) forward-only 512^2/65k render fps
+  reenact     — (config 2) avatar_reenact 100-frame batch render through
+                Reenactor.reenact (uint8 fetch + pipelined drain)
+  nersemble   — (config 5b) NeRSemble-style tracked-sequence render
+                (world_transform active) fps
+  train       — (config 3) train_mono_avatar step it/s, reference loss,
+                30-step scan windows (the bench.py headline, re-measured
+                here so the artifact stands alone)
+  baking      — (config 4) neural-baking step it/s at production shapes
+                (feature_map UNet decoder, 512^2 render)
+  edit        — (config 4b) baked-avatar sticker edit apply + one render
+  completion  — (config 5a) completion stages at production shapes:
+                EG3D tri-grid @ EG3DConfig() defaults (256 backbone /
+                128 neural / 512 SR) full-generator forward ms, one PTI
+                W-projection step ms, one PTI G-finetune step ms
+                (VERDICT r2 item #5), GFPGAN 512^2 restore ms,
+                BiSeNet 512^2 parse ms, MODNet 512^2 matte ms
+  baselines   — train-step it/s for gaussianavatars (sh_degree 3 — the
+                16x SH gather stress case), flashavatar, splattingavatar,
+                monogaussianavatar at their configs/*.yaml shapes
+
+Weights are synthetic/random everywhere (zero egress) — identical FLOPs
+and memory traffic to pretrained, so timings transfer; quality numbers do
+not and are not reported here.
+
+Usage: python scripts/bench_sweep.py [--only render,train] [--out PATH]
+"""
+
+import argparse
+import json
 import os
+import statistics
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import fateavatar_tpu  # noqa: F401 — restores JAX_PLATFORMS env precedence
+                       # over the axon sitecustomize (see verify skill)
 import numpy as np
 
+SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+RES = 64 if SMOKE else 512
 
-def main():
+
+def _median_windows(fn, n_iters, windows=3, warmup=2):
+    """Median it/s over ``windows`` timed windows of ``n_iters`` each,
+    discarding implausible (>1000 it/s) tunnel drops."""
     import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(n_iters))
+    vals = []
+    for _ in range(windows + 2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(n_iters))
+        dt = time.perf_counter() - t0
+        if n_iters / dt < 1000:
+            vals.append(n_iters / dt)
+        if len(vals) >= windows:
+            break
+    return statistics.median(vals) if vals else 0.0
+
+
+def _flagship(capacity=None):
     import jax.numpy as jnp
 
     from fateavatar_tpu.flame import synthetic_flame
     from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
-    from fateavatar_tpu.ops.camera import make_camera
     from fateavatar_tpu.render.render import RenderConfig
-    from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
+    from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+
+    import jax
+
+    tex = 16 if SMOKE else 256
+    capacity = capacity or (512 if SMOKE else 70_000)
+    n_verts = 96 if SMOKE else 512
+    flame = synthetic_flame(n_verts=n_verts, n_shape=8, n_exp=6, seed=0)
+    cfg = FateAvatarConfig(tex_size=tex, capacity=capacity, img_height=RES,
+                           img_width=RES, normal_offset=0.02)
+    model, params, state = init_fateavatar(sphere_obj_mesh(n_verts), flame,
+                                           cfg)
+    backend = jax.default_backend()
+    render_cfg = RenderConfig(
+        impl="pallas" if backend == "tpu" else "xla",
+        max_per_tile=256 if SMOKE else 1024, chunk=32 if SMOKE else 64,
+        instance_budget=4 * capacity if SMOKE else 2 * capacity,
+        max_tiles_per_gaussian=8, binning="twotier", tail_k=256,
+    )
+    return model, params, state, render_cfg
+
+
+def _camera():
+    import jax.numpy as jnp
+
+    from fateavatar_tpu.ops.camera import make_camera
+
+    return make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                       0.8, 0.8, RES, RES)
+
+
+def sec_render():
+    import jax
+    import jax.numpy as jnp
+
+    from fateavatar_tpu.models import fateavatar_forward
+
+    model, params, state, rc = _flagship()
+    cam = _camera()
+    fwd = jax.jit(lambda e, p: fateavatar_forward(
+        model, params, state, e, p, cam, render_cfg=rc)["rgb_image"])
+    e = jnp.zeros((6,), jnp.float32)
+    p = jnp.zeros((15,), jnp.float32)
+
+    def run(k):
+        img = None
+        for _ in range(k):
+            img = fwd(e, p)
+        return img
+
+    fps = _median_windows(run, 30)
+    return {"fps": round(fps, 1), "ms_per_frame": round(1000.0 / fps, 2),
+            "desc": f"forward-only {RES}^2 render, 65k splats (config 1)"}
+
+
+def sec_reenact():
+    import jax
+    import jax.numpy as jnp
+
+    from fateavatar_tpu.train.loader import Reenactor
+
+    model, params, state, rc = _flagship()
+    # in-memory Reenactor (the checkpoint-restore path is covered by
+    # tests/test_loader.py; here we time the render+fetch loop itself)
+    re = object.__new__(Reenactor)
+    re.model, re.params, re.state, re.render_cfg = model, params, state, rc
+    rng = np.random.default_rng(0)
+    n_frames = 8 if SMOKE else 100
+    exprs = rng.normal(size=(n_frames, 6)).astype(np.float32) * 0.3
+    poses = (rng.normal(size=(n_frames, 15)).astype(np.float32) * 0.05)
+    cam = _camera()
+    frames = re.reenact(exprs, poses, None, cam)          # compile + warm
+    t0 = time.perf_counter()
+    frames = re.reenact(exprs, poses, None, cam)
+    dt = time.perf_counter() - t0
+    assert len(frames) == n_frames and frames[0].dtype == np.uint8
+    return {"frames": n_frames, "seconds": round(dt, 2),
+            "fps": round(n_frames / dt, 1),
+            "desc": f"avatar_reenact {n_frames}-frame batch render incl. "
+                    f"uint8 device->host fetch (config 2)"}
+
+
+def sec_nersemble():
+    import jax
+    import jax.numpy as jnp
+
+    from fateavatar_tpu.models import fateavatar_forward
+
+    model, params, state, rc = _flagship()
+    cam = _camera()
+    # tracked NeRSemble sequences carry a per-frame model-to-world
+    # similarity transform: 7-vector euler_xyz + translation + scale
+    # (benchmark/nersemble.py:193-217, flame.py:apply_world_transform)
+    wt = jnp.asarray([0.01, 0.0, 0.0, 0.005, 0.0, 0.0, 1.02], jnp.float32)
+    fwd = jax.jit(lambda e, p, w: fateavatar_forward(
+        model, params, state, e, p, cam, render_cfg=rc,
+        world_transform=w)["rgb_image"])
+    e = jnp.zeros((6,), jnp.float32)
+    p = jnp.zeros((15,), jnp.float32)
+
+    def run(k):
+        img = None
+        for _ in range(k):
+            img = fwd(e, p, wt)
+        return img
+
+    fps = _median_windows(run, 30)
+    return {"fps": round(fps, 1),
+            "desc": f"NeRSemble submission-style render (world_transform "
+                    f"active), {RES}^2 (config 5b)"}
+
+
+def sec_train():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from fateavatar_tpu.models import fateavatar_forward
+    from fateavatar_tpu.train.losses import (
+        FateAvatarLoss, FateAvatarLossConfig, vgg16_random_params,
+    )
     from fateavatar_tpu.train.optim import fateavatar_optimizers
     from fateavatar_tpu.train.step import (
         Frame, MaintenanceConfig, init_train_state, make_train_step,
     )
-    from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
 
-    res, tex, capacity = 512, 256, 70_000
-    flame = synthetic_flame(n_verts=512, n_shape=8, n_exp=6, seed=0)
-    mesh = sphere_obj_mesh(512)
-    cfg = FateAvatarConfig(tex_size=tex, capacity=capacity,
-                           img_height=res, img_width=res, normal_offset=0.02)
-    model, params, state = init_fateavatar(mesh, flame, cfg)
-    loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
-                                                  dssim_weight=0.25))
-    opt = fateavatar_optimizers({})
-    maint = MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
-                              opacity_reset_interval=10**9)
+    model, params, state, rc = _flagship()
+    cam = _camera()
     rng = np.random.default_rng(0)
-    frame = Frame(
-        expression=jnp.zeros((6,), jnp.float32),
-        flame_pose=jnp.zeros((15,), jnp.float32),
-        camera=make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
-                           0.8, 0.8, res, res),
-        rgb=jnp.asarray(rng.random((res, res, 3)), jnp.float32),
-        bg_color=jnp.ones(3),
+    tgt = jax.jit(lambda: fateavatar_forward(
+        model, params, state,
+        jnp.asarray(rng.normal(size=6) * 0.5, jnp.float32),
+        jnp.asarray(rng.normal(size=15) * 0.05, jnp.float32),
+        cam, bg_color=jnp.ones(3), render_cfg=rc)["rgb_image"])()
+    frame = Frame(expression=jnp.zeros((6,), jnp.float32),
+                  flame_pose=jnp.zeros((15,), jnp.float32), camera=cam,
+                  rgb=jnp.clip(tgt, 0, 1), bg_color=jnp.ones(3))
+    if SMOKE:
+        loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0))
+    else:
+        loss_fn = FateAvatarLoss(
+            FateAvatarLossConfig(rgb_weight=1.0, vgg_weight=0.1,
+                                 vgg_dtype="bfloat16"),
+            vgg_params=vgg16_random_params(jax.random.PRNGKey(0)))
+    opt = fateavatar_optimizers({})
+    raw = make_train_step(model, loss_fn, opt, MaintenanceConfig(), rc,
+                          return_raw=True)
+
+    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+    def scan_steps(ts, k):
+        def body(ts, _):
+            ts, aux = raw(ts, frame)
+            return ts, aux["overflow"]
+        return jax.lax.scan(body, ts, None, length=k, unroll=3)
+
+    box = {"ts": init_train_state(params, state, opt)}
+    box["ts"] = box["ts"].replace(
+        step=jnp.asarray(8 if SMOKE else 5900, box["ts"].step.dtype))
+    n = 4 if SMOKE else 30
+
+    def run(k):
+        ts, ovf = scan_steps(box["ts"], k)
+        box["ts"] = ts
+        return ovf
+
+    its = _median_windows(run, n)
+    return {"it_per_s": round(its, 1), "ms_per_step": round(1000 / its, 2),
+            "desc": f"train_mono_avatar step, reference loss rgb+VGG16(0.1),"
+                    f" maintenance live, {RES}^2/65k (config 3; bench.py "
+                    f"headline remeasured)"}
+
+
+def sec_baking():
+    import jax
+    import jax.numpy as jnp
+
+    from fateavatar_tpu.models import uv_decoder as uvd
+    from fateavatar_tpu.render.render import RenderConfig
+    from fateavatar_tpu.train.baker import UVBaker
+    from fateavatar_tpu.train.datasets import SyntheticDataset
+    from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
+
+    model, params, state, rc = _flagship()
+    dec_model, net, net_vars = uvd.build_uv_decoder(
+        model, params, state, decode_type="feature_map",
+        fresh_samples=64 if SMOKE else 4096, seed=0)
+    ds = SyntheticDataset(num_frames=4, img_res=(RES, RES), n_shape=8,
+                          n_exp=6, seed=1)
+    baker = UVBaker(dec_model, net, jax.tree.map(jnp.array, net_vars),
+                    FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
+                                                        dssim_weight=0.25)),
+                    ds, workspace=None, reg_weight=0.1, render_cfg=rc)
+    frame_args = baker._prep(ds.sample(0))
+    # time the jitted step directly (bake_epoch adds host-side sampling)
+    box = {"tr": baker._trainable(baker.net_vars),
+           "bs": baker.net_vars["batch_stats"],
+           "os": baker.opt_state}
+
+    def run(k):
+        losses = None
+        for _ in range(k):
+            box["tr"], box["bs"], box["os"], losses = baker._step(
+                box["tr"], box["bs"], box["os"], *frame_args)
+        return losses["loss"]
+
+    its = _median_windows(run, 4 if SMOKE else 20)
+    return {"it_per_s": round(its, 1), "ms_per_step": round(1000 / its, 2),
+            "desc": f"neural-baking UNet step (feature_map decoder, {RES}^2"
+                    f" render) (config 4)"}
+
+
+def sec_edit():
+    import jax
+    import jax.numpy as jnp
+
+    from fateavatar_tpu.models import uv_decoder as uvd
+    from fateavatar_tpu.train.baker import UVBaker, UVEditor
+
+    from fateavatar_tpu.train.datasets import SyntheticDataset
+    from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
+
+    model, params, state, rc = _flagship()
+    dec_model, net, net_vars = uvd.build_uv_decoder(
+        model, params, state, decode_type="feature_map",
+        fresh_samples=64 if SMOKE else 4096, seed=0)
+    raw, _ = UVBaker(
+        dec_model, net, jax.tree.map(jnp.array, net_vars),
+        FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0)),
+        SyntheticDataset(num_frames=1, img_res=(RES, RES), n_shape=8,
+                         n_exp=6), render_cfg=rc).textures()
+    editor = UVEditor(dec_model, raw, render_cfg=rc)
+    size = 32 if SMOKE else 128
+    sticker = np.random.default_rng(0).random((size, size, 3)).astype(
+        np.float32)
+    mask = np.ones((size, size), np.float32)
+    t0 = time.perf_counter()
+    editor.sticker_editing(sticker, mask, position=(size, size), scale=1.0)
+    t_edit = time.perf_counter() - t0
+    e = jnp.zeros((6,), jnp.float32)
+    p = jnp.zeros((15,), jnp.float32)
+    cam = _camera()
+    img = editor.render(e, p, cam)                      # compile
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        img = editor.render(e, p, cam)
+    jax.block_until_ready(img)
+    fps = 10 / (time.perf_counter() - t0)
+    return {"sticker_apply_s": round(t_edit, 2),
+            "edited_render_fps": round(fps, 1),
+            "desc": "baked-avatar sticker edit + render (config 4b)"}
+
+
+def sec_completion():
+    import jax
+    import jax.numpy as jnp
+
+    from fateavatar_tpu.completion.eg3d.networks import (
+        EG3DConfig, eg3d_camera_label, eg3d_random_params, render_full,
+        tiny_test_config,
+    )
+    from fateavatar_tpu.completion.eg3d.pti import (
+        PTIConfig, _inversion_loss, compute_w_stats,
+    )
+    import optax
+
+    out = {}
+    cfg = tiny_test_config() if SMOKE else EG3DConfig()
+    key = jax.random.PRNGKey(0)
+    p = eg3d_random_params(key, cfg)
+    n_params = sum(int(np.prod(v.shape)) for v in p.values())
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = -2.7
+    label = jnp.asarray(eg3d_camera_label(c2w))[None]
+    z = jax.random.normal(key, (1, cfg.z_dim))
+
+    fwd = jax.jit(lambda z: render_full(p, cfg, z, label)["image"])
+    img = fwd(z)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        img = fwd(z)
+    jax.block_until_ready(img)
+    out["eg3d_forward_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 1)
+    out["eg3d_params_m"] = round(n_params / 1e6, 1)
+    out["eg3d_shape"] = (f"{cfg.backbone_resolution}->{cfg.neural_resolution}"
+                         f"->{cfg.sr_resolution}, depth {cfg.triplane_depth}")
+    target = jnp.clip(img, -1, 1)
+
+    # one PTI W-projection step and one G-finetune step at production shape
+    pti_cfg = PTIConfig()
+    w_avg, _ = compute_w_stats(p, cfg, key, label[0], 16)
+    w = w_avg[None, :]
+    opt = optax.adam(1.0)
+    opt_state = opt.init(w)
+
+    @jax.jit
+    def w_step(w, opt_state):
+        def loss_fn(w_):
+            wb = jnp.repeat(w_[:, None, :], cfg.num_ws, axis=1)
+            return _inversion_loss(p, cfg, pti_cfg, wb, target, label,
+                                   w_avg, None)
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(w)
+        up, opt_state = opt.update(g, opt_state)
+        return w + 0.1 * up, opt_state, loss
+
+    w, opt_state, loss = w_step(w, opt_state)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        w, opt_state, loss = w_step(w, opt_state)
+    jax.block_until_ready(loss)
+    out["pti_w_step_ms"] = round((time.perf_counter() - t0) / 3 * 1e3, 1)
+
+    ws = jnp.repeat(w[:, None, :], cfg.num_ws, axis=1)
+    trainable = {k: v for k, v in p.items()
+                 if k.startswith(("backbone.synthesis", "superresolution",
+                                  "decoder")) and "noise_const" not in k}
+    frozen = {k: v for k, v in p.items() if k not in trainable}
+    gopt = optax.adam(3e-4)
+    gstate = gopt.init(trainable)
+
+    @jax.jit
+    def g_step(tr, gstate):
+        def loss_fn(tr_):
+            return _inversion_loss({**frozen, **tr_}, cfg, pti_cfg, ws,
+                                   target, label, ws[0, 0], None)
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(tr)
+        up, gstate = gopt.update(g, gstate)
+        return optax.apply_updates(tr, up), gstate, loss
+
+    trainable, gstate, loss = g_step(trainable, gstate)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        trainable, gstate, loss = g_step(trainable, gstate)
+    jax.block_until_ready(loss)
+    out["pti_g_step_ms"] = round((time.perf_counter() - t0) / 3 * 1e3, 1)
+    del p, trainable, frozen, gstate, opt_state
+
+    # the pixel-space stages at 512^2
+    from fateavatar_tpu.completion.matting import (
+        modnet_matte, modnet_random_params,
+    )
+    from fateavatar_tpu.completion.restoration import (
+        gfpgan_random_params, gfpgan_restore, tiny_gfpgan_config,
+    )
+    from fateavatar_tpu.completion.restoration import GFPGANConfig
+    from fateavatar_tpu.completion.segmentation import (
+        bisenet_forward, init_bisenet,
     )
 
-    n_splats = 70_000
-    variants = [
-        ("2N aligned", RenderConfig(max_tiles_per_gaussian=16,
-                                    instance_budget=2 * n_splats)),
-        ("2N compact", RenderConfig(max_tiles_per_gaussian=16,
-                                    instance_budget=2 * n_splats,
-                                    layout="compact")),
-    ]
+    x = jax.random.uniform(key, (1, RES, RES, 3))
+    gcfg = tiny_gfpgan_config() if SMOKE else GFPGANConfig()
+    gp = gfpgan_random_params(jax.random.PRNGKey(1), gcfg)
+    gfp = jax.jit(lambda v: gfpgan_restore(gp, gcfg, v))
+    sz = gcfg.out_size
+    xg = jax.random.uniform(key, (1, sz, sz, 3))
+    jax.block_until_ready(gfp(xg))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        o = gfp(xg)
+    jax.block_until_ready(o)
+    out["gfpgan_restore_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 1)
 
-    for name, rc in variants:
-        step = make_train_step(model, loss_fn, opt, maint, rc)
-        ts = init_train_state(params, state, opt)
-        try:
-            for _ in range(3):
-                ts, aux = step(ts, frame)
-            jax.block_until_ready(aux["loss"])
-            n = 20
+    bp = init_bisenet(2)
+    bis = jax.jit(lambda v: bisenet_forward(bp, v))
+    r = bis(x)
+    r = r[0] if isinstance(r, tuple) else r
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        r = bis(x)
+        r = r[0] if isinstance(r, tuple) else r
+    jax.block_until_ready(r)
+    out["bisenet_parse_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 1)
+
+    mp = modnet_random_params(jax.random.PRNGKey(3))
+    mat = jax.jit(lambda v: modnet_matte(mp, v))
+    jax.block_until_ready(mat(x))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        m = mat(x)
+    jax.block_until_ready(m)
+    out["modnet_matte_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 1)
+    out["desc"] = ("completion stage timings at production shapes, random "
+                   "weights = identical FLOPs (config 5a; VERDICT item 5)")
+    return out
+
+
+def sec_baselines():
+    import jax
+    import jax.numpy as jnp
+
+    from fateavatar_tpu.flame import synthetic_flame
+    from fateavatar_tpu.render.render import RenderConfig
+    from fateavatar_tpu.train import baseline_steps as BS
+    from fateavatar_tpu.train.step import Frame
+    from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+
+    backend = jax.default_backend()
+    out = {}
+    n_verts = 96 if SMOKE else 5000   # ~10k faces, FLAME-scale topology
+    flame = synthetic_flame(n_verts=n_verts, n_shape=8, n_exp=6, seed=0)
+    cam = _camera()
+    rng = np.random.default_rng(0)
+    fr = Frame(expression=jnp.asarray(rng.normal(size=6) * 0.2, jnp.float32),
+               flame_pose=jnp.asarray(rng.normal(size=15) * 0.03, jnp.float32),
+               camera=cam,
+               rgb=jnp.asarray(rng.random((RES, RES, 3)), jnp.float32),
+               bg_color=jnp.ones(3))
+
+    def rc(budget, r=8):
+        return RenderConfig(
+            impl="pallas" if backend == "tpu" else "xla",
+            max_per_tile=256 if SMOKE else 1024, chunk=32 if SMOKE else 64,
+            instance_budget=budget, max_tiles_per_gaussian=r,
+            binning="twotier", tail_k=256)
+
+    def timeit(name, step, ts, n=20):
+        for _ in range(3):
+            ts, aux = step(ts, fr)
+        jax.block_until_ready(aux["loss"])
+        vals = []
+        for _ in range(5):
             t0 = time.perf_counter()
             for _ in range(n):
-                ts, aux = step(ts, frame)
+                ts, aux = step(ts, fr)
             jax.block_until_ready(aux["loss"])
-            dt = (time.perf_counter() - t0) / n
-            if dt < 1e-3:
-                print(f"{name:16s}  IMPLAUSIBLE ({dt*1e3:.3f} ms) — tunnel drop")
-            else:
-                print(f"{name:16s}  {1e3*dt:7.2f} ms/step  "
-                      f"({1/dt:5.2f} it/s)  overflow={int(aux['overflow'])}")
-        except Exception as e:
-            print(f"{name:16s}  FAILED: {type(e).__name__}: {str(e)[:120]}")
+            cur = n / (time.perf_counter() - t0)
+            if cur < 1000:
+                vals.append(cur)
+            if len(vals) >= 3:
+                break
+        its = statistics.median(vals) if vals else 0.0
+        out[name] = {"it_per_s": round(its, 1),
+                     "ms_per_step": round(1000 / its, 2) if its else None}
+        return ts
+
+    n = 4 if SMOKE else 20
+
+    # GaussianAvatars at sh_degree 3 (configs/gaussianavatars.yaml:27) —
+    # one splat per face init (~2x verts); the SH-3 stress case
+    from fateavatar_tpu.models.baselines import gaussianavatars as GA
+    from fateavatar_tpu.train.losses import (
+        GaussianAvatarsLoss, GaussianAvatarsLossConfig,
+    )
+
+    cap = 256 if SMOKE else 40_000
+    model, params, state = GA.init_gaussianavatars(
+        flame, GA.GAConfig(sh_degree=3, capacity=cap, img_height=RES,
+                           img_width=RES))
+    alive = int(jnp.sum(state.alive))
+    opt = BS.gaussianavatars_optimizer({})
+    step = BS.make_gaussianavatars_step(
+        model, GaussianAvatarsLoss(GaussianAvatarsLossConfig()), opt,
+        rc(4 * cap), densify_interval=10**9, opacity_reset_interval=10**9)
+    timeit("gaussianavatars_sh3", step, BS._init_ts(params, state, opt), n)
+    out["gaussianavatars_sh3"]["splats"] = alive
+
+    from fateavatar_tpu.models.baselines import flashavatar as FA
+    from fateavatar_tpu.train.losses import FlashAvatarLoss
+
+    tex = 8 if SMOKE else 128        # configs/flashavatar.yaml tex_size 128
+    model, params, net = FA.init_flashavatar(
+        sphere_obj_mesh(n_verts), flame,
+        FA.FlashConfig(tex_size=tex, img_height=RES, img_width=RES))
+    opt = BS.flashavatar_optimizer({})
+    step = BS.make_flashavatar_step(model, net, FlashAvatarLoss(), opt,
+                                    rc(4 * tex * tex))
+    timeit("flashavatar", step, BS._init_ts(params, None, opt), n)
+    out["flashavatar"]["splats"] = tex * tex
+
+    from fateavatar_tpu.models.baselines import splattingavatar as SA
+    from fateavatar_tpu.train.losses import SplattingAvatarLoss
+
+    cap = 192 if SMOKE else 30_000
+    ns = 128 if SMOKE else 10_000    # configs/splattingavatar.yaml
+    model, params, state = SA.init_splattingavatar(
+        flame, SA.SplatConfig(num_samples=ns, capacity=cap,
+                              img_height=RES, img_width=RES))
+    opt = BS.splattingavatar_optimizer({})
+    step = BS.make_splattingavatar_step(model, SplattingAvatarLoss(), opt,
+                                        rc(4 * cap),
+                                        triangle_walk_interval=10)
+    timeit("splattingavatar", step, BS._init_ts(params, state, opt), n)
+    out["splattingavatar"]["splats"] = ns
+
+    from fateavatar_tpu.models.baselines import monogaussianavatar as MA
+    from fateavatar_tpu.train.losses import (
+        MonoGaussianAvatarLoss, MonoGaussianAvatarLossConfig,
+    )
+
+    npts = 64 if SMOKE else 20_000
+    cap = 512 if SMOKE else 100_000  # configs/monogaussianavatar.yaml
+    model, params, state, nets = MA.init_monogaussianavatar(
+        flame, MA.MonoConfig(n_init_points=npts, max_points=cap,
+                             img_height=RES, img_width=RES, cam_scale=1.0))
+    loss_fn = MonoGaussianAvatarLoss(MonoGaussianAvatarLossConfig(),
+                                     model.flame)
+    opt = BS.monogaussianavatar_optimizer({"lr": 1e-3})
+    step = BS.make_monogaussianavatar_step(model, nets, loss_fn, opt,
+                                           rc(4 * cap))
+    timeit("monogaussianavatar", step, BS._init_ts(params, state, opt), n)
+    out["monogaussianavatar"]["splats"] = npts
+    out["desc"] = (f"baseline-family train steps at configs/*.yaml shapes, "
+                   f"{RES}^2, synthetic FLAME ({n_verts} verts)")
+    return out
+
+
+SECTIONS = {
+    "render": sec_render,
+    "reenact": sec_reenact,
+    "nersemble": sec_nersemble,
+    "train": sec_train,
+    "baking": sec_baking,
+    "edit": sec_edit,
+    "completion": sec_completion,
+    "baselines": sec_baselines,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    round_id = os.environ.get("BENCH_ROUND", "03")
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"BENCH_SWEEP_r{round_id}.json")
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+    results.setdefault("meta", {})
+    results["meta"].update({
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "smoke": SMOKE,
+    })
+
+    names = (args.only.split(",") if args.only else list(SECTIONS))
+    failed = []
+    for name in names:
+        print(f"=== [{name}] ===", flush=True)
+        t0 = time.perf_counter()
+        try:
+            r = SECTIONS[name]()
+            r["wall_s"] = round(time.perf_counter() - t0, 1)
+            results[name] = r
+            print(json.dumps(r, indent=1), flush=True)
+        except Exception as e:  # noqa: BLE001 — sweep reports all sections
+            traceback.print_exc()
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            failed.append(name)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+    print(f"saved {out_path}" + (f"; FAILED: {failed}" if failed else ""))
+    sys.exit(1 if failed else 0)
 
 
 if __name__ == "__main__":

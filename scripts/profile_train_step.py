@@ -43,6 +43,7 @@ def build_step():
                               t_cutoff=float(os.environ.get("PROF_CUTOFF", "0")),
                               bwd_slots=bool(int(os.environ.get("PROF_SLOTS", "0"))),
                               bwd_sorted_scatter=bool(int(os.environ.get("PROF_SORTED", "0"))),
+                              bwd_grouped=bool(int(os.environ.get("PROF_GROUPED", "0"))),
                               layout=os.environ.get("PROF_LAYOUT", "compact"),
                               binning=os.environ.get("PROF_BINNING", "onesort"),
                               tail_k=int(os.environ.get("PROF_TAIL_K", "0")))

@@ -95,7 +95,7 @@ def main(epochs: int = 3, frames: int = 50):
                                     opacity_reset_interval=10**9,
                                     increase_num=1000,
                                     max_points_num=capacity),
-        render_cfg=render_cfg, snapshot_interval=10**9,
+        render_cfg=render_cfg, snapshot_interval=10**9, scan_unroll=3,
     )
     assert tr.tracking_enabled
     for _ in range(epochs):

@@ -87,7 +87,7 @@ def main(epochs: int = 3, frames: int = 100):
                                     opacity_reset_interval=10**9,
                                     increase_num=1000,
                                     max_points_num=capacity),
-        render_cfg=render_cfg, snapshot_interval=10**9,
+        render_cfg=render_cfg, snapshot_interval=10**9, scan_unroll=3,
     )
     curve = []
     for _ in range(epochs):
