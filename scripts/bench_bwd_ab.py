@@ -117,6 +117,14 @@ def main():
     if int(os.environ.get("AB_GROUPED", "0")):
         variants.append(("grouped (scatter-free)",
                          sized.replace(bwd_grouped=True), 1))
+    if int(os.environ.get("AB_CUTOFF", "0")):
+        # bit-identical early exit (cutoff <= T_EPS skips only instances
+        # the keep mask drops anyway). Rejected in r1 on DENSE synthetic
+        # noise (while_loop breaks Mosaic pipelining, nothing terminated);
+        # re-tested here on the reachable-avatar workload where opaque
+        # surfaces terminate most pixels early.
+        variants = [("slim cutoff=1e-4", sized.replace(t_cutoff=1e-4), u)
+                    for u in (1, 3)]
     for name, rc, unroll in variants:
         name = f"{name} unroll={unroll}"
         raw_step = make_train_step(model, loss_fn, opt, maint, rc,
