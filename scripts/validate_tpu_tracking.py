@@ -28,7 +28,7 @@ def main(epochs: int = 3, frames: int = 50):
     from fateavatar_tpu.models import (
         FateAvatarConfig, fateavatar_forward, init_fateavatar,
     )
-    from fateavatar_tpu.ops.camera import make_camera
+    from fateavatar_tpu.ops.camera import make_camera_np
     from fateavatar_tpu.render.render import RenderConfig
     from fateavatar_tpu.train.datasets import SyntheticDataset
     from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
@@ -76,8 +76,8 @@ def main(epochs: int = 3, frames: int = 50):
         for i in range(len(d)):
             s = d.sample(i)
             cam_pose = np.asarray(s["cam_pose"], np.float32)
-            cam = make_camera(cam_pose[:3, :3].T, cam_pose[:3, 3],
-                              s["fovx"], s["fovy"], res, res)
+            cam = make_camera_np(cam_pose[:3, :3].T, cam_pose[:3, 3],
+                                 s["fovx"], s["fovy"], res, res)
             img = gt_render(jnp.asarray(s["expression"]),
                             jnp.asarray(s["flame_pose"]), cam)
             d._images[i] = np.asarray(img)

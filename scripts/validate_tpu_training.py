@@ -29,7 +29,7 @@ def main(epochs: int = 3, frames: int = 100):
     from fateavatar_tpu.models import (
         FateAvatarConfig, fateavatar_forward, init_fateavatar,
     )
-    from fateavatar_tpu.ops.camera import make_camera
+    from fateavatar_tpu.ops.camera import make_camera_np
     from fateavatar_tpu.render.render import RenderConfig
     from fateavatar_tpu.train.datasets import SyntheticDataset
     from fateavatar_tpu.train.losses import FateAvatarLoss, FateAvatarLossConfig
@@ -68,8 +68,10 @@ def main(epochs: int = 3, frames: int = 100):
     for i in range(frames):
         s = ds.sample(i)
         cam_pose = np.asarray(s["cam_pose"], np.float32)
-        cam = make_camera(cam_pose[:3, :3].T, cam_pose[:3, 3],
-                          s["fovx"], s["fovy"], res, res)
+        # numpy camera: each eager jnp op costs ~a tunnel round trip;
+        # make_camera was ~2.4 s/frame of the gt phase on the remote TPU
+        cam = make_camera_np(cam_pose[:3, :3].T, cam_pose[:3, 3],
+                             s["fovx"], s["fovy"], res, res)
         img = gt_render(jnp.asarray(s["expression"]),
                         jnp.asarray(s["flame_pose"]), cam)
         ds._images[i] = np.asarray(img)
@@ -83,10 +85,14 @@ def main(epochs: int = 3, frames: int = 100):
                                                     dssim_weight=0.25)),
         optimizer=fateavatar_optimizers({}),
         train_dataset=ds, workspace=None,
-        maint_cfg=MaintenanceConfig(densify_interval=150, prune_interval=200,
-                                    opacity_reset_interval=10**9,
-                                    increase_num=1000,
-                                    max_points_num=capacity),
+        maint_cfg=MaintenanceConfig(
+            # MAINT=0 isolates densify/prune from the fidelity curve
+            densify_interval=(150 if int(os.environ.get("MAINT", "1"))
+                              else 10**9),
+            prune_interval=(200 if int(os.environ.get("MAINT", "1"))
+                            else 10**9),
+            opacity_reset_interval=10**9, increase_num=1000,
+            max_points_num=capacity),
         render_cfg=render_cfg, snapshot_interval=10**9, scan_unroll=3,
     )
     curve = []

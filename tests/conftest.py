@@ -26,11 +26,11 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 # against nodeids; one entry can select a class or a parametrized group.
 FAST = (
     # rasterizer core: oracle, binning, XLA blend, facade, goldens
-    "test_rasterizer.py::TestOracle",
+    # (one Oracle scene: the per-pixel reference loops cost ~10 s each)
+    "test_rasterizer.py::TestOracle::test_single_gaussian_blob",
     "test_rasterizer.py::TestBinning::test_lists_match_bruteforce",
     "test_rasterizer.py::TestTileBlend::test_xla_blend_matches_oracle",
     "test_rasterizer.py::TestRenderFacade::test_render_outputs",
-    "test_rasterizer.py::TestRenderFacade::test_means2d_probe_grad",
     "test_golden_scenes.py::TestGoldenScenes::test_all_variants_match_golden[sh0_basic]",
     "test_golden_scenes.py::TestSceneProperties::test_depth_ties_bit_identical",
     "test_cuda_oracle.py::TestOracleInternals",
@@ -53,12 +53,11 @@ FAST = (
     "test_autosize.py::TestOccupancy::test_size_caps_bounds",
     # baselines
     "test_baselines.py::TestGaussianAvatars::test_forward",
-    "test_baselines.py::TestFlashAvatar::test_forward_and_grad",
     "test_baselines.py::TestSplattingAvatar::test_triangle_walk_zero_delta",
     "test_baselines.py::TestMonoGaussianAvatar::test_forward",
     "test_baseline_steps.py::TestRegistry",
-    # multi-chip
-    "test_splat_parallel.py::test_sharded_matches_single_device",
+    # multi-chip: ONE representative — the 2-D mesh step (42 s) covers
+    # sharding+psum+densify; the DP parity test costs 107 s and overlaps
     "test_splat_parallel.py::test_mesh2d_train_step",
     # network ports + completion
     "test_block_oracles.py::TestNormOracles",
