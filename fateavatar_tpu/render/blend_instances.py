@@ -435,8 +435,26 @@ def _call_bwd(inst_data, tile_starts, bg, img_tiles, t_final, g_img, g_tfin,
     merged = jax.ops.segment_sum(bnd, w_t, num_segments=n_win)
     pad = n_win * CHUNK - M
     gout_p = jnp.pad(gout, ((0, 0), (0, pad))) if pad else gout
-    gout = ((gout_p.reshape(ROW, n_win, CHUNK)
-             + merged.transpose(1, 0, 2)).reshape(ROW, n_win * CHUNK))[:, :M]
+    gout_p = gout_p.reshape(ROW, n_win, CHUNK)
+    # HOLE windows: a window that is some tile's chunk-0 (grads -> bnd)
+    # and no tile's chunk>=1 — exactly the windows whose boundary column
+    # is a CHUNK-aligned tile start. The kernel never DMAs them, so their
+    # content is whatever the aliased gout-init buffer held. That buffer
+    # CANNOT be trusted to be zeros: under lax.scan XLA hoists the
+    # loop-invariant zeros literal out of the loop, the aliased kernel
+    # mutates it in place, and every iteration after the first reads the
+    # previous iteration's gradients as "zeros" (caught as a PSNR
+    # regression on the chip, r3; per-dispatch execution re-materializes
+    # the literal each call, which is why single-step tests passed).
+    # Zero them explicitly — correctness no longer depends on the
+    # aliased input's content anywhere (non-hole windows are fully
+    # DMA-overwritten; columns >= total are masked below).
+    aligned_start = (tile_starts[:-1] % CHUNK) == 0
+    holes = jnp.zeros((n_win,), jnp.int32).at[w_t].max(
+        aligned_start.astype(jnp.int32), mode="drop")
+    gout_p = jnp.where(holes[None, :, None] > 0, 0.0, gout_p)
+    gout = ((gout_p + merged.transpose(1, 0, 2))
+            .reshape(ROW, n_win * CHUNK))[:, :M]
     # columns past the last real instance are never owned by any tile
     total = tile_starts[-1]
     col_ids = jnp.arange(M, dtype=jnp.int32)[None, :]
