@@ -313,11 +313,19 @@ class UVEditor:
         return self.act_textures["color"]
 
     def render(self, expression, flame_pose, camera, bg_color=None):
-        return uvd.render_from_texture_dict(
-            self.model, self.act_textures, expression, flame_pose, camera,
-            bg_color=bg_color, render_cfg=self.render_cfg,
-            activated=True,
-        )["rgb_image"]
+        # jitted once; textures are a TRACED argument so sticker/style
+        # edits never recompile (eager per-op dispatch costs ~seconds per
+        # frame through a remote-TPU tunnel)
+        if not hasattr(self, "_render_jit"):
+            self._render_jit = jax.jit(
+                lambda tex, e, p, cam, bg: uvd.render_from_texture_dict(
+                    self.model, tex, e, p, cam, bg_color=bg,
+                    render_cfg=self.render_cfg, activated=True,
+                )["rgb_image"])
+        if bg_color is None:
+            bg_color = self.model.avatar.bg_color
+        return self._render_jit(self.act_textures, expression, flame_pose,
+                                camera, jnp.asarray(bg_color, jnp.float32))
 
     def run_animation(self, dataset: FaceDataset, out_path: str, fps: int = 25,
                       max_frames: Optional[int] = None):

@@ -104,7 +104,14 @@ class Reenactor(Loader):
         pending: list = []
 
         def drain():
-            frames.extend(np.asarray(a) for a in jax.device_get(pending))
+            if not pending:
+                return
+            # ONE stacked fetch: per-array device_get pays a full transfer
+            # round trip each (measured ~3 MB/s through the remote-TPU
+            # tunnel vs ~48 MB/s for one large array) — stack on device,
+            # fetch once, unstack on host
+            batch = np.asarray(jnp.stack(pending))
+            frames.extend(batch[i] for i in range(batch.shape[0]))
             pending.clear()
 
         for expr, pose in zip(src_expressions, src_poses):
