@@ -28,3 +28,24 @@ if _os.environ.get("JAX_PLATFORMS") in ("cpu", "tpu", "gpu", "cuda"):
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:
         pass
+
+if (_os.environ.get("FATEAVATAR_COMPILE_CACHE", "1") != "0"
+        and _os.environ.get("JAX_PLATFORMS") != "cpu"):
+    # Persistent XLA compilation cache: the flagship scan-epoch program
+    # costs 50-80 s to compile per fresh process (minutes through a
+    # remote-TPU tunnel); caching it makes restart/resume and repeated
+    # CLI invocations pay it once. Opt out with FATEAVATAR_COMPILE_CACHE=0.
+    # CPU runs (tests/verify) are excluded: XLA:CPU caches AOT code keyed
+    # on detected machine features, and feature-set drift between processes
+    # makes reloads warn about potential SIGILL — while CPU compiles are
+    # cheap enough not to need a cache.
+    import jax as _jax2
+
+    try:
+        _jax2.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("FATEAVATAR_COMPILE_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/fateavatar_xla")))
+        _jax2.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # older jax without the knobs — run uncached
+        pass

@@ -30,7 +30,18 @@ def main():
 
     diff_fields = ("xyz", "scaling", "rotation", "opacity",
                    "features_dc", "features_rest")
-    for name, factory in SCENES.items():
+
+    # the round-1 legacy golden (tests/test_rasterizer.py::TestGoldens)
+    # records the SAME loss/fields — include it here so semantic fixes
+    # that re-record the scene set can never leave it stale again (it
+    # went stale at the r3 CUDA-oracle parity fixes)
+    from test_rasterizer import make_scene  # noqa: E402
+
+    scenes = dict(SCENES)
+    scenes["rasterizer_scene80_sh2"] = lambda: make_scene(
+        80, seed=1234, sh_degree=2)
+
+    for name, factory in scenes.items():
         cam, g, bg = factory()
         n = g.xyz.shape[0]
         cfg = RenderConfig(impl="xla", instance_budget=n * 36)

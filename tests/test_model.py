@@ -202,6 +202,41 @@ class TestOptim:
 
 
 class TestTrainStep:
+    def test_maintenance_statics_agree_while_no_event_fires(self, avatar):
+        """Two train-step PROGRAM VARIANTS (maintenance conds compiled in
+        vs out) must produce bit-identical trajectories while no event
+        actually fires. This invariant localized the r3 stale-aliased-
+        zeros gradient corruption on the chip (the two variants' buffer
+        assignments differed, and one read a mutated 'zeros' buffer) —
+        codified here so numerics-diverging program variants fail fast."""
+        model, params, state = avatar
+        loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0))
+        opt = fateavatar_optimizers({})
+        # events far away but CONDS COMPILED IN vs intervals so large the
+        # builder can elide them
+        step_live = make_train_step(
+            model, loss_fn, opt,
+            MaintenanceConfig(densify_interval=1000, prune_interval=1000,
+                              opacity_reset_interval=1000),
+            render_cfg=RENDER_CFG,
+        )
+        step_off = make_train_step(
+            model, loss_fn, opt,
+            MaintenanceConfig(densify_interval=10**9, prune_interval=10**9,
+                              opacity_reset_interval=10**9),
+            render_cfg=RENDER_CFG,
+        )
+        ts_a = init_train_state(params, state, opt)
+        ts_b = init_train_state(params, state, opt)
+        frame = make_frame(model, seed=3)
+        for i in range(4):
+            ts_a, aux_a = step_live(ts_a, frame)
+            ts_b, aux_b = step_off(ts_b, frame)
+            assert float(aux_a["loss"]) == float(aux_b["loss"]), i
+        for la, lb in zip(jax.tree_util.tree_leaves(ts_a.params),
+                          jax.tree_util.tree_leaves(ts_b.params)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
     def test_loss_decreases_overfitting_one_frame(self, avatar):
         model, params, state = avatar
         loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0))
