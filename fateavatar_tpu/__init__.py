@@ -29,23 +29,33 @@ if _os.environ.get("JAX_PLATFORMS") in ("cpu", "tpu", "gpu", "cuda"):
     except Exception:
         pass
 
-if (_os.environ.get("FATEAVATAR_COMPILE_CACHE", "1") != "0"
-        and _os.environ.get("JAX_PLATFORMS") != "cpu"):
+def _enable_compile_cache_if_tpu() -> bool:
     # Persistent XLA compilation cache: the flagship scan-epoch program
     # costs 50-80 s to compile per fresh process (minutes through a
     # remote-TPU tunnel); caching it makes restart/resume and repeated
     # CLI invocations pay it once. Opt out with FATEAVATAR_COMPILE_CACHE=0.
-    # CPU runs (tests/verify) are excluded: XLA:CPU caches AOT code keyed
-    # on detected machine features, and feature-set drift between processes
-    # makes reloads warn about potential SIGILL — while CPU compiles are
-    # cheap enough not to need a cache.
+    # Non-TPU backends are excluded BY DETECTED BACKEND, not by env var
+    # (ADVICE r3: JAX_PLATFORMS is often unset on CPU-only hosts): XLA:CPU
+    # caches AOT code keyed on detected machine features, and feature-set
+    # drift between processes makes reloads warn about potential SIGILL —
+    # while CPU compiles are cheap enough not to need a cache.
+    if _os.environ.get("FATEAVATAR_COMPILE_CACHE", "1") == "0":
+        return False
+    if _os.environ.get("JAX_PLATFORMS") == "cpu":
+        return False  # cheap static skip: no backend init needed
     import jax as _jax2
 
     try:
+        if _jax2.default_backend() != "tpu":
+            return False
         _jax2.config.update(
             "jax_compilation_cache_dir",
             _os.environ.get("FATEAVATAR_COMPILE_CACHE_DIR",
                             _os.path.expanduser("~/.cache/fateavatar_xla")))
         _jax2.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        return True
     except Exception:  # older jax without the knobs — run uncached
-        pass
+        return False
+
+
+_enable_compile_cache_if_tpu()

@@ -34,15 +34,21 @@ def sample_orbit_pose(
     lookat: np.ndarray,
     radius: float = 2.7,
 ) -> np.ndarray:
-    """One cam2world on the orbit sphere (camera_eg3d.py:26-54 semantics:
-    h is azimuth, v polar from +y)."""
+    """One cam2world on the orbit sphere (camera_eg3d.py:26-54 EXACT
+    semantics, pinned by tests/test_reference_exec.py): h is azimuth; v is
+    mapped EQUAL-AREA onto the polar angle, phi = arccos(1 - 2 v / pi)
+    (v = pi/2 -> equator, unchanged); origins sit on the radius sphere
+    CENTERED AT THE WORLD ORIGIN (not at ``lookat`` — pretrained
+    EG3D/SphereHead generators were conditioned on exactly these labels,
+    so an origin offset would corrupt real-weight PTI transfer)."""
     h, v = horizontal_mean, vertical_mean
     v = np.clip(v, 1e-5, np.pi - 1e-5)
+    phi = np.arccos(1.0 - 2.0 * (v / np.pi))
     origin = np.array([
-        radius * np.sin(v) * np.cos(np.pi - h),
-        radius * np.cos(v),
-        radius * np.sin(v) * np.sin(np.pi - h),
-    ]) + np.asarray(lookat)
+        radius * np.sin(phi) * np.cos(np.pi - h),
+        radius * np.cos(phi),
+        radius * np.sin(phi) * np.sin(np.pi - h),
+    ])
     return cam2world_lookat(origin, np.asarray(lookat, np.float64))
 
 

@@ -197,15 +197,16 @@ def make_flame(
     )
 
 
-def synthetic_flame(
+def synthetic_flame_data(
     n_verts: int = 128,
-    n_shape: int = 8,
     n_exp: int = 6,
     seed: int = 0,
-    canonical_pose: float = 0.2,
-) -> FlameModel:
-    """A small FLAME-shaped random model (5 joints, icosphere-ish mesh) for
-    tests and self-contained benchmarks."""
+):
+    """The raw synthetic FLAME assets: a pickle-layout data dict (same keys
+    as the official ``generic_model.pkl``) plus a landmark-embedding tuple.
+    Kept separate from :func:`synthetic_flame` so tests can feed the SAME
+    assets to the reference's own ``flame/FLAME.py`` (written out as a
+    pickle) and to our :func:`make_flame` — the execution-parity oracle."""
     rng = np.random.default_rng(seed)
 
     # Fibonacci sphere vertices -> convex hull triangulation
@@ -248,7 +249,19 @@ def synthetic_flame(
     lmk_bary = rng.dirichlet(np.ones(3), size=68).astype(np.float32)
     dyn_faces = rng.integers(0, len(faces), size=(79, 17)).astype(np.int32)
     dyn_bary = rng.dirichlet(np.ones(3), size=(79, 17)).astype(np.float32)
+    return data, (lmk_faces, lmk_bary, dyn_faces, dyn_bary)
+
+
+def synthetic_flame(
+    n_verts: int = 128,
+    n_shape: int = 8,
+    n_exp: int = 6,
+    seed: int = 0,
+    canonical_pose: float = 0.2,
+) -> FlameModel:
+    """A small FLAME-shaped random model (5 joints, icosphere-ish mesh) for
+    tests and self-contained benchmarks."""
+    data, lmk = synthetic_flame_data(n_verts=n_verts, n_exp=n_exp, seed=seed)
     return make_flame(data, n_shape=n_shape, n_exp=n_exp,
                       canonical_pose=canonical_pose,
-                      landmark_embedding=(lmk_faces, lmk_bary,
-                                          dyn_faces, dyn_bary))
+                      landmark_embedding=lmk)

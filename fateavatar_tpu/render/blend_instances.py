@@ -319,8 +319,9 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
             jnp.zeros((1, P), jnp.float32))
     if cutoff > 0.0:
         # must stop at the SAME chunk as the forward (same data, same
-        # condition); with cutoff <= T_EPS every skipped instance is
-        # dropped by the keep mask anyway, so the exit is pure perf
+        # condition); skipped instances' TRUE gradients are zero (their
+        # alpha is dropped by the keep mask), but their gout windows must
+        # still be WRITTEN — see the zero-fill loop below
         def loop_cond(carry):
             return (carry[0] < nchunk) & (jnp.max(carry[1]) >= cutoff)
 
@@ -348,6 +349,34 @@ def _bwd_kernel(starts_ref, inst_ref, bg_ref, img_ref, tfin_ref,
 
     drain(i_exit - 2)
     drain(i_exit - 1)
+
+    if cutoff > 0.0:
+        # Chunks [i_exit, nchunk) were skipped by the early exit. Their
+        # gout windows are NOT hole windows (they are this tile's
+        # chunk >= 1 — chunk 0 always executes when nchunk > 0 since q
+        # starts at 1 >= cutoff) and are not masked by the col < total
+        # check outside, so without an explicit write their content is
+        # whatever the aliased zeros-init buffer holds — STALE under
+        # lax.scan (XLA hoists the zeros literal; the aliased kernel
+        # mutates it in place — the r3 failure mode, see _call_bwd).
+        # DMA a zeroed scratch into every skipped window: the true
+        # gradient of every dropped instance is exactly zero.
+        @pl.when(i_exit < nchunk)
+        def _():
+            out_scratch[0] = jnp.zeros((ROW, CHUNK), jnp.float32)
+
+        def zero_window(j, c):
+            off = pl.multiple_of(win0 + j * CHUNK, CHUNK)
+            dma = pltpu.make_async_copy(
+                out_scratch.at[0],
+                gout_ref.at[:, pl.ds(off, CHUNK)],
+                out_sem.at[0],
+            )
+            dma.start()
+            dma.wait()
+            return c
+
+        jax.lax.fori_loop(jnp.maximum(i_exit, 1), nchunk, zero_window, 0)
 
 
 def _call_fwd(inst_data, tile_starts, bg, grid, interpret, cutoff=0.0):
@@ -385,7 +414,12 @@ def _call_fwd(inst_data, tile_starts, bg, grid, interpret, cutoff=0.0):
 
 
 def _call_bwd(inst_data, tile_starts, bg, img_tiles, t_final, g_img, g_tfin,
-              grid, interpret, cutoff=0.0):
+              grid, interpret, cutoff=0.0, gout_init=None):
+    """``gout_init`` is a TEST-ONLY hook: the buffer aliased into gout.
+    Production always passes fresh zeros; tests pass a DIRTY buffer to
+    prove the result is independent of the aliased input's content
+    (the guarantee the hole-window zeroing + the cutoff-path zero-fill
+    DMAs provide)."""
     ty, tx = grid
     T = ty * tx
     M = inst_data.shape[1]
@@ -427,7 +461,7 @@ def _call_bwd(inst_data, tile_starts, bg, img_tiles, t_final, g_img, g_tfin,
         input_output_aliases={7: 0},   # zeros input -> gout (coverage holes)
     )(tile_starts.astype(jnp.int32), inst_data, bg.reshape(1, 3),
       img_tiles, t_final[:, None, :], g_img, g_tfin[:, None, :],
-      jnp.zeros((ROW, M), jnp.float32))
+      jnp.zeros((ROW, M), jnp.float32) if gout_init is None else gout_init)
     # merge each tile's boundary chunk (its first, possibly straddling,
     # window) back in: one tiny segment-sum over window index + an add
     n_win = (M + CHUNK - 1) // CHUNK
@@ -446,9 +480,11 @@ def _call_bwd(inst_data, tile_starts, bg, img_tiles, t_final, g_img, g_tfin,
     # previous iteration's gradients as "zeros" (caught as a PSNR
     # regression on the chip, r3; per-dispatch execution re-materializes
     # the literal each call, which is why single-step tests passed).
-    # Zero them explicitly — correctness no longer depends on the
-    # aliased input's content anywhere (non-hole windows are fully
-    # DMA-overwritten; columns >= total are masked below).
+    # Zero them explicitly — with this plus the kernel's cutoff-path
+    # zero-fill DMAs (chunks skipped by the early exit), correctness no
+    # longer depends on the aliased input's content anywhere (all other
+    # windows are fully DMA-overwritten; columns >= total are masked
+    # below). test_dirty_gout_init_* pins this.
     aligned_start = (tile_starts[:-1] % CHUNK) == 0
     holes = jnp.zeros((n_win,), jnp.int32).at[w_t].max(
         aligned_start.astype(jnp.int32), mode="drop")

@@ -42,10 +42,9 @@ class TestOrbitSampler:
         to_target = lookat - c2w[:3, 3]
         to_target /= np.linalg.norm(to_target)
         np.testing.assert_allclose(fwd, to_target, atol=1e-5)
-        # on the sphere
-        np.testing.assert_allclose(
-            np.linalg.norm(c2w[:3, 3] - lookat), 2.0, atol=1e-5
-        )
+        # on the sphere CENTERED AT THE WORLD ORIGIN (EG3D convention,
+        # camera_eg3d.py:36-50 — origins are not offset by lookat)
+        np.testing.assert_allclose(np.linalg.norm(c2w[:3, 3]), 2.0, atol=1e-5)
 
     def test_orbit_cameras_project_center(self):
         cams, c2ws = orbit_cameras(8, np.zeros(3), 0.5, 0.8, 0.8, RES, RES)

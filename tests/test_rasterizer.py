@@ -406,8 +406,13 @@ class TestTileBlend:
                 variants = (
                     dict(binning="onesort", **base),
                     dict(binning="twotier", tail_r0=4, tail_k=8, **base),
-                    # tail_k=0 degenerates to the pure-r0 cap: exercises
-                    # the empty-tail branch of the grouped backward
+                    # tail_k=0 is COERCED by build_instance_lists to
+                    # K = max(256, n // 16) (clamped to n), so group_tail
+                    # is non-empty here and the tail branch of the grouped
+                    # backward still runs — this variant only covers the
+                    # default-K path, not an empty tail (which is
+                    # unreachable through binning: onesort r_max == r0
+                    # skips the tail branch entirely)
                     dict(binning="twotier", tail_r0=6, tail_k=0, **base),
                 )
                 for kw in variants:
@@ -637,3 +642,74 @@ class TestEarlyExit:
         scale = float(jnp.abs(g_exact).max()) + 1e-12
         np.testing.assert_allclose(
             np.asarray(g_cut) / scale, np.asarray(g_exact) / scale, atol=5e-3)
+
+    @staticmethod
+    def _saturating_scene():
+        """One tile, 4 CHUNKs of instances; chunk 0 is opaque wall (alpha
+        0.9 at EVERY pixel of the tile), so with cutoff=1e-4 the backward
+        while_loop exits after chunk 0 and chunks 1..3 are skipped."""
+        from fateavatar_tpu.render.blend_instances import CHUNK, ROW
+
+        rng = np.random.default_rng(7)
+        m = 4 * CHUNK
+        data = np.zeros((ROW, m), np.float32)
+        data[0] = rng.uniform(2, 14, m)      # mean_x inside the 16px tile
+        data[1] = rng.uniform(2, 14, m)
+        data[2] = rng.uniform(0.05, 0.3, m)  # conic a
+        data[3] = 0.0
+        data[4] = rng.uniform(0.05, 0.3, m)  # conic c
+        data[5:8] = rng.uniform(0, 1, (3, m))
+        data[8] = rng.uniform(0.3, 0.8, m)   # opacity
+        data[9] = 1.0                        # valid
+        # chunk 0: huge flat Gaussians -> alpha ~= op = 0.9 everywhere
+        data[0, :CHUNK] = 8.0
+        data[1, :CHUNK] = 8.0
+        data[2, :CHUNK] = 1e-6
+        data[4, :CHUNK] = 1e-6
+        data[8, :CHUNK] = 0.9
+        starts = np.array([0, m], np.int32)
+        bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+        return jnp.asarray(data), jnp.asarray(starts), bg, (1, 1)
+
+    def test_dirty_gout_init_cutoff_skipped_chunks_zeroed(self):
+        """ADVICE r3 (medium): with cutoff > 0 the backward's early exit
+        skips chunks >= i_exit; their gout windows must be WRITTEN (zeros),
+        not left to the aliased init buffer (stale under lax.scan). Feed a
+        DIRTY init buffer and require the result to be independent of it
+        and exactly zero for every skipped instance."""
+        from fateavatar_tpu.render import blend_instances as bi
+
+        data, starts, bg, grid = self._saturating_scene()
+        img, tfin = bi._call_fwd(data, starts, bg, grid, True, 1e-4)
+        g_img = jnp.ones_like(img)
+        g_tfin = jnp.zeros_like(tfin)
+        dirty = jnp.full((bi.ROW, data.shape[1]), 123.0, jnp.float32)
+
+        g_clean = bi._call_bwd(data, starts, bg, img, tfin, g_img, g_tfin,
+                               grid, True, 1e-4)
+        g_dirty = bi._call_bwd(data, starts, bg, img, tfin, g_img, g_tfin,
+                               grid, True, 1e-4, gout_init=dirty)
+        np.testing.assert_array_equal(np.asarray(g_dirty),
+                                      np.asarray(g_clean))
+        # chunks 1..3 were never reached: exact-zero gradients
+        np.testing.assert_array_equal(
+            np.asarray(g_dirty[:, bi.CHUNK:]),
+            np.zeros((bi.ROW, 3 * bi.CHUNK), np.float32))
+
+    def test_dirty_gout_init_exact_path(self):
+        """cutoff = 0 (exact closed form): every window is DMA-overwritten
+        or hole-zeroed, so a dirty aliased init must not leak either."""
+        from fateavatar_tpu.render import blend_instances as bi
+
+        data, starts, bg, grid = self._saturating_scene()
+        img, tfin = bi._call_fwd(data, starts, bg, grid, True, 0.0)
+        g_img = jnp.ones_like(img)
+        g_tfin = jnp.zeros_like(tfin)
+        dirty = jnp.full((bi.ROW, data.shape[1]), -77.0, jnp.float32)
+
+        g_clean = bi._call_bwd(data, starts, bg, img, tfin, g_img, g_tfin,
+                               grid, True, 0.0)
+        g_dirty = bi._call_bwd(data, starts, bg, img, tfin, g_img, g_tfin,
+                               grid, True, 0.0, gout_init=dirty)
+        np.testing.assert_array_equal(np.asarray(g_dirty),
+                                      np.asarray(g_clean))
