@@ -634,10 +634,15 @@ class Trainer:
             self.logger.file_only(
                 f"[WARN] {overflow} tile instances dropped "
                 "(raise max_per_tile)")
+        # keep the per-step scalars on the host: scripts (fidelity
+        # validation) use them to localize WHERE in an epoch a loss
+        # inflection happens — a few KB per epoch
+        self.last_epoch_aux = aux
         self.last_epoch_stats = {
             "epoch": self.epoch, "mode": "scan",
             "its": n / max(dt, 1e-9), "loss": float(np.mean(aux["loss"])),
             "psnr": float(np.mean(aux["psnr"])),
+            "overflow": overflow,
             "alive": (int(jnp.sum(self.ts.state.alive))
                       if hasattr(self.ts.state, "alive") else None),
         }

@@ -70,7 +70,7 @@ def _median_windows(fn, n_iters, windows=3, warmup=2):
     return statistics.median(vals) if vals else 0.0
 
 
-def _flagship(capacity=None):
+def _flagship(capacity=None, tex=None):
     import jax.numpy as jnp
 
     from fateavatar_tpu.flame import synthetic_flame
@@ -80,7 +80,7 @@ def _flagship(capacity=None):
 
     import jax
 
-    tex = 16 if SMOKE else 256
+    tex = tex or (16 if SMOKE else 256)
     capacity = capacity or (512 if SMOKE else 70_000)
     n_verts = 96 if SMOKE else 512
     flame = synthetic_flame(n_verts=n_verts, n_shape=8, n_exp=6, seed=0)
@@ -619,8 +619,126 @@ def sec_baselines():
     return out
 
 
+def sec_scale200k():
+    """The 200k-splat cap scale point (VERDICT r4 item 3): the reference
+    grows to max_points_num=200,000 (config/fateavatar.yaml:48,
+    model/fateavatar.py:610-672); every prior chip number sat at 65-70k.
+    tex_size=448 -> 448^2 = 200,704 alive splats at init — the cap
+    population without simulating 135 densify events. Records the
+    autosized caps, forward fps, train it/s, overflow, and HBM
+    high-water at the cap."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from fateavatar_tpu.models import fateavatar_forward
+    from fateavatar_tpu.render.autosize import autosize_render_config
+    from fateavatar_tpu.train.losses import (
+        FateAvatarLoss, FateAvatarLossConfig, vgg16_random_params,
+    )
+    from fateavatar_tpu.train.optim import fateavatar_optimizers
+    from fateavatar_tpu.train.step import (
+        Frame, MaintenanceConfig, init_train_state, make_train_step,
+    )
+
+    tex = 32 if SMOKE else 448
+    capacity = tex * tex          # 200,704 alive at init
+    model, params, state, rc = _flagship(capacity=capacity, tex=tex)
+    cam = _camera()
+    alive = int(jnp.sum(state.alive))
+
+    probe = Frame(expression=jnp.zeros((6,), jnp.float32),
+                  flame_pose=jnp.zeros((15,), jnp.float32), camera=cam,
+                  rgb=jnp.zeros((RES, RES, 3), jnp.float32),
+                  bg_color=jnp.ones(3))
+    sizing = {}
+    rc = autosize_render_config(
+        model, params, state, probe, rc,
+        log_fn=lambda m: sizing.update(autosize=m) or print(m))
+
+    out = {"splats": alive, "capacity": capacity,
+           "instance_budget": rc.instance_budget,
+           "max_tiles_per_gaussian": rc.max_tiles_per_gaussian,
+           "tail_k": getattr(rc, "tail_k", None), **sizing}
+
+    # forward render at the cap
+    fwd = jax.jit(lambda e, p: fateavatar_forward(
+        model, params, state, e, p, cam, render_cfg=rc)["rgb_image"])
+    e = jnp.zeros((6,), jnp.float32)
+    p = jnp.zeros((15,), jnp.float32)
+
+    def run_fwd(k):
+        img = None
+        for _ in range(k):
+            img = fwd(e, p)
+        return img
+
+    fps = _median_windows(run_fwd, 4 if SMOKE else 20)
+    out["render_fps"] = round(fps, 1)
+    out["render_ms"] = round(1000.0 / fps, 2)
+
+    # train step at the cap: reference loss (rgb + VGG16 0.1), maintenance
+    # live with max_points_num at the cap (densify candidates masked out —
+    # the population IS the cap; prune/accum machinery still runs)
+    rng = np.random.default_rng(0)
+    tgt = jax.jit(lambda: fateavatar_forward(
+        model, params, state,
+        jnp.asarray(rng.normal(size=6) * 0.5, jnp.float32),
+        jnp.asarray(rng.normal(size=15) * 0.05, jnp.float32),
+        cam, bg_color=jnp.ones(3), render_cfg=rc)["rgb_image"])()
+    frame = Frame(expression=e, flame_pose=p, camera=cam,
+                  rgb=jnp.clip(tgt, 0, 1), bg_color=jnp.ones(3))
+    if SMOKE:
+        loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0))
+    else:
+        loss_fn = FateAvatarLoss(
+            FateAvatarLossConfig(rgb_weight=1.0, vgg_weight=0.1,
+                                 vgg_dtype="bfloat16"),
+            vgg_params=vgg16_random_params(jax.random.PRNGKey(0)))
+    opt = fateavatar_optimizers({})
+    raw = make_train_step(
+        model, loss_fn, opt,
+        MaintenanceConfig(max_points_num=capacity), rc, return_raw=True)
+
+    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+    def scan_steps(ts, k):
+        def body(ts, _):
+            ts, aux = raw(ts, frame)
+            return ts, aux["overflow"]
+        return jax.lax.scan(body, ts, None, length=k, unroll=3)
+
+    box = {"ts": init_train_state(params, state, opt)}
+    box["ts"] = box["ts"].replace(
+        step=jnp.asarray(8 if SMOKE else 5900, box["ts"].step.dtype))
+    ovf_total = {"n": 0}
+
+    def run_train(k):
+        ts, ovf = scan_steps(box["ts"], k)
+        box["ts"] = ts
+        ovf_total["n"] += int(np.sum(np.asarray(ovf)))
+        return ovf
+
+    its = _median_windows(run_train, 4 if SMOKE else 20)
+    out["train_it_per_s"] = round(its, 1)
+    out["train_ms_per_step"] = round(1000 / its, 2)
+    out["train_overflow_total"] = ovf_total["n"]
+
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        for k_ in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+            if k_ in ms:
+                out[f"hbm_{k_}"] = int(ms[k_])
+    except Exception:           # tunnel backends may not expose stats
+        out["hbm_stats"] = "unavailable"
+    out["desc"] = (f"200k-cap scale point: {alive} alive splats, {RES}^2, "
+                   "autosized caps, reference train loss")
+    return out
+
+
 SECTIONS = {
     "render": sec_render,
+    "scale200k": sec_scale200k,
     "reenact": sec_reenact,
     "nersemble": sec_nersemble,
     "train": sec_train,

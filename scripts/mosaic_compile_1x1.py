@@ -1,0 +1,205 @@
+"""Compile + execute the SHARDED programs on the real TPU toolchain
+(VERDICT r4 item 6).
+
+All shard_map evidence so far (tests/test_splat_parallel.py, the driver's
+dryrun_multichip) runs on XLA:CPU with virtual devices; a Mosaic/XLA:TPU
+incompatibility in the composition shard_map + all_to_all + the tile blend
+would surface only on real multi-chip hardware. This script runs the same
+programs on the single real TPU chip with DEGENERATE meshes (1 device per
+axis) — the TPU compiler still lowers the collectives and the full sharded
+program, so "compiles + executes + finite outputs" here rules out the
+toolchain-incompatibility class, leaving only true >1-device ICI behavior
+untested (impossible in this environment).
+
+Covers:
+  * splat-sharded render (parallel/splat_parallel.py) on a 1-device
+    ('gauss',) mesh at 512^2 / 65k splats — production shape,
+  * 2-D mesh train step (parallel/mesh2d.py) on a 1x1 ('data','gauss')
+    mesh at 128^2 / 4.6k splats with in-jit sharded densify,
+  * 2-D mesh tracking step on the same mesh.
+
+Appends a {"backend": "tpu", ...} section to MULTICHIP_r<N>.json
+(MULTICHIP_ROUND env var, default "0").
+
+Usage (on the chip — no JAX_PLATFORMS prefix):
+  python scripts/mosaic_compile_1x1.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from fateavatar_tpu.flame import synthetic_flame
+    from fateavatar_tpu.models import FateAvatarConfig, init_fateavatar
+    from fateavatar_tpu.models.fateavatar import build_gaussians
+    from fateavatar_tpu.ops.camera import make_camera
+    from fateavatar_tpu.parallel.mesh2d import (
+        make_mesh2d_tracking_step, make_mesh2d_train_step, place_mesh2d,
+    )
+    from fateavatar_tpu.parallel.data_parallel import stack_frames
+    from fateavatar_tpu.parallel.splat_parallel import render_splat_sharded
+    from fateavatar_tpu.train.optim import fateavatar_optimizers
+    from fateavatar_tpu.train.step import Frame, init_train_state
+    from fateavatar_tpu.train.tracking import RowAdam, TrackingTables
+
+    backend = jax.default_backend()
+    print(f"[mosaic1x1] backend={backend} devices={jax.devices()}")
+    results = {"backend": backend, "device": str(jax.devices()[0]),
+               "scenarios": {}}
+
+    def record(name, fn):
+        t0 = time.perf_counter()
+        try:
+            out = fn()
+            results["scenarios"][name] = {
+                "ok": True, "wall_s": round(time.perf_counter() - t0, 2),
+                **out}
+            print(f"[mosaic1x1] {name}: ok {results['scenarios'][name]}")
+        except Exception as e:  # noqa: BLE001 — artifact records the failure
+            results["scenarios"][name] = {
+                "ok": False, "error": f"{type(e).__name__}: {e}"}
+            print(f"[mosaic1x1] {name}: FAILED {e}")
+
+    rng = np.random.default_rng(0)
+
+    # ---- scenario 1: splat-sharded render at production shape ----------
+    def splat_sharded():
+        res, capacity = 512, 65_536
+        flame = synthetic_flame(n_verts=512, n_shape=8, n_exp=6, seed=0)
+        from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+        mesh_obj = sphere_obj_mesh(512)
+        cfg = FateAvatarConfig(tex_size=256, capacity=capacity,
+                               img_height=res, img_width=res,
+                               normal_offset=0.02)
+        model, params, state = init_fateavatar(mesh_obj, flame, cfg)
+        gmesh = Mesh(np.asarray(jax.devices()[:1]), ("gauss",))
+        gaussians, _, _ = build_gaussians(
+            model, params, state, jnp.zeros(6), jnp.zeros(15))
+        g = jax.device_put(gaussians, NamedSharding(gmesh, P("gauss")))
+        cam = make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                          0.8, 0.8, res, res)
+        t0 = time.perf_counter()
+        img, dropped = render_splat_sharded(
+            cam, g, jnp.ones(3), gmesh,
+            max_per_tile=1024, pair_budget=2 * capacity, chunk=64)
+        jax.block_until_ready(img)
+        compile_s = time.perf_counter() - t0
+        # warm re-dispatch for the steady-state number
+        t0 = time.perf_counter()
+        for _ in range(5):
+            img, dropped = render_splat_sharded(
+                cam, g, jnp.ones(3), gmesh,
+                max_per_tile=1024, pair_budget=2 * capacity, chunk=64)
+        jax.block_until_ready(img)
+        warm_ms = (time.perf_counter() - t0) / 5 * 1e3
+        assert np.isfinite(np.asarray(img)).all()
+        return {"res": res, "capacity": capacity,
+                "compile_s": round(compile_s, 1),
+                "warm_ms": round(warm_ms, 2),
+                "dropped": int(dropped)}
+
+    record("splat_sharded_render_512_65k", splat_sharded)
+
+    # ---- scenario 2+3: 2-D mesh train + tracking steps ------------------
+    def mesh2d_steps():
+        res = 128
+        flame = synthetic_flame(n_verts=256, n_shape=6, n_exp=4, seed=0)
+        from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+        mesh_obj = sphere_obj_mesh(256)
+        cfg = FateAvatarConfig(tex_size=64, capacity=4096 + 512,
+                               img_height=res, img_width=res,
+                               normal_offset=0.02)
+        model, params, state = init_fateavatar(mesh_obj, flame, cfg)
+        mesh2 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                     ("data", "gauss"))
+        opt = fateavatar_optimizers({})
+        step = make_mesh2d_train_step(
+            model, opt, mesh2, max_per_tile=128, chunk=32,
+            densify_interval=1, prune_interval=2, increase_num=256)
+        ts = place_mesh2d(init_train_state(params, state, opt), mesh2)
+        frames = []
+        for _ in range(1):
+            cam = make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                              0.8, 0.8, res, res)
+            frames.append(Frame(
+                expression=jnp.asarray(rng.normal(size=4) * 0.2, jnp.float32),
+                flame_pose=jnp.asarray(rng.normal(size=15) * 0.05,
+                                       jnp.float32),
+                camera=cam,
+                rgb=jnp.asarray(rng.random((res, res, 3)), jnp.float32),
+                bg_color=jnp.ones(3)))
+        batch = jax.device_put(stack_frames(frames),
+                               NamedSharding(mesh2, P("data")))
+        a0 = int(np.sum(jax.device_get(ts.state.alive)))
+        t0 = time.perf_counter()
+        ts, aux = step(ts, batch)
+        loss = float(aux["loss"])
+        compile_s = time.perf_counter() - t0
+        a1 = int(np.sum(jax.device_get(ts.state.alive)))
+        assert np.isfinite(loss), loss
+        assert a1 > a0, (a0, a1)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            ts, aux = step(ts, batch)
+        jax.block_until_ready(aux["loss"])
+        warm_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+        # tracking adapter on the same mesh
+        F = 4
+        tables = TrackingTables(
+            expression=jnp.zeros((F, 4)), flame_pose=jnp.zeros((F, 15)),
+            cam_t=jnp.tile(jnp.asarray([0.0, 0.0, 0.4])[None], (F, 1)))
+        topt = RowAdam(lr=1e-3)
+        tstate = topt.init(tables)
+        tstep = make_mesh2d_tracking_step(model, mesh2, topt,
+                                          max_per_tile=128, chunk=32)
+        fc = {
+            "R": jnp.tile(jnp.eye(3)[None], (1, 1, 1)),
+            "fovx": jnp.full((1,), 0.8), "fovy": jnp.full((1,), 0.8),
+            "rgb": jnp.stack([f.rgb for f in frames]),
+            "bg": jnp.stack([f.bg_color for f in frames]),
+        }
+        fc = jax.device_put(fc, NamedSharding(mesh2, P("data")))
+        t0 = time.perf_counter()
+        tables, tstate, tloss = tstep(
+            tables, tstate, jnp.asarray([0], jnp.int32),
+            jnp.asarray([True]), ts.params, ts.state, fc)
+        track_compile_s = time.perf_counter() - t0
+        assert np.isfinite(float(tloss))
+        return {"res": res, "loss": round(loss, 5),
+                "alive": f"{a0}->{a1}",
+                "compile_s": round(compile_s, 1),
+                "warm_ms": round(warm_ms, 2),
+                "tracking_loss": round(float(tloss), 5),
+                "tracking_compile_s": round(track_compile_s, 1)}
+
+    record("mesh2d_train_and_tracking_1x1", mesh2d_steps)
+
+    round_id = os.environ.get("MULTICHIP_ROUND", "0")
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), f"MULTICHIP_r{round_id}.json")
+    existing = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            existing = json.load(f)
+    existing["tpu_mosaic_1x1"] = results
+    with open(out, "w") as f:
+        json.dump(existing, f, indent=1)
+    print(f"[artifact] {out} += tpu_mosaic_1x1")
+    if not all(s.get("ok") for s in results["scenarios"].values()):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,21 @@ below the ``MIN_PSNR`` env var (default 23.5) — enforced only for runs of
 anything). Best, not final, because checkpointing keeps the best epoch and
 the late opacity-reset events perturb the tiny synthetic self-fit target.
 
+Maintenance cadence env knobs (VERDICT r4 item 2): ``DENSIFY``/``PRUNE``/
+``RESET`` in steps (defaults 150/200/off = the r1-r3 stress protocol, 20x
+the reference cadence); ``MAINT=0`` disables all three. The REFERENCE
+cadence (config/fateavatar.yaml:46-48) is DENSIFY=3000 PRUNE=2000
+RESET=60000.
+
+Baked-fidelity gate (VERDICT r4 item 5): ``BAKE=<epochs>`` (default 0 =
+skip) bakes the trained avatar into UV textures through UVBaker and
+records PSNR/SSIM of render_from_texture_dict vs the source splat render
+over ``BAKE_POSES`` validation poses as ``baked_psnr``/``baked_ssim`` in
+the artifact; fails (exit 1) if baked_psnr < ``BAKED_MIN_PSNR``
+(default 28.0 — the bake reproduces a render the splats themselves
+produce, so the bar is higher than the reconstruction floor; reference
+behavior: train/baker.py:120-191, model/uv_decoder.py:564-690).
+
 Usage: python scripts/validate_tpu_training.py [epochs] [frames]
 """
 
@@ -23,7 +38,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(epochs: int = 3, frames: int = 100):
+def run_validation(
+    epochs: int = 3,
+    frames: int = 100,
+    res: int = 512,
+    tex: int = 256,
+    capacity: int = 70_000,
+    densify: int = 150,
+    prune: int = 200,
+    reset: int = 10**9,
+    increase_num: int = 1000,
+    bake_epochs: int = 0,
+    bake_poses: int = 8,
+    round_id: str = "0",
+    write_artifact: bool = True,
+):
+    """Run the fidelity protocol and return the artifact dict.
+
+    Library entry point so the slow-tier CPU test
+    (tests/test_validation_protocol.py) runs the SAME code path as the
+    chip validation, only at reduced frames/capacity (VERDICT r4 item 8).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -41,10 +76,10 @@ def main(epochs: int = 3, frames: int = 100):
     from fateavatar_tpu.train.trainer import Trainer
     from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
 
-    res, tex, capacity = 512, 256, 70_000
     backend = jax.default_backend()
-    flame = synthetic_flame(n_verts=512, n_shape=8, n_exp=6, seed=0)
-    mesh = sphere_obj_mesh(512)
+    n_verts = min(512, max(96, res))
+    flame = synthetic_flame(n_verts=n_verts, n_shape=8, n_exp=6, seed=0)
+    mesh = sphere_obj_mesh(n_verts)
     cfg = FateAvatarConfig(tex_size=tex, capacity=capacity, img_height=res,
                            img_width=res, normal_offset=0.02)
     render_cfg = RenderConfig(
@@ -82,19 +117,16 @@ def main(epochs: int = 3, frames: int = 100):
           f"{time.perf_counter() - t0:.1f}s")
 
     model2, params, state = init_fateavatar(mesh, flame, cfg)
+    loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
+                                                  dssim_weight=0.25))
     tr = Trainer(
         name="tpu_validate", model=model2, params=params, state=state,
-        loss_fn=FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
-                                                    dssim_weight=0.25)),
+        loss_fn=loss_fn,
         optimizer=fateavatar_optimizers({}),
         train_dataset=ds, workspace=None,
         maint_cfg=MaintenanceConfig(
-            # MAINT=0 isolates densify/prune from the fidelity curve
-            densify_interval=(150 if int(os.environ.get("MAINT", "1"))
-                              else 10**9),
-            prune_interval=(200 if int(os.environ.get("MAINT", "1"))
-                            else 10**9),
-            opacity_reset_interval=10**9, increase_num=1000,
+            densify_interval=densify, prune_interval=prune,
+            opacity_reset_interval=reset, increase_num=increase_num,
             max_points_num=capacity),
         render_cfg=render_cfg, snapshot_interval=10**9, scan_unroll=3,
     )
@@ -102,37 +134,147 @@ def main(epochs: int = 3, frames: int = 100):
     for _ in range(epochs):
         tr.epoch += 1
         tr.train_epoch()
-        curve.append(dict(tr.last_epoch_stats))
+        stats = dict(tr.last_epoch_stats)
+        # collapse diagnostics (VERDICT r4 item 2): where inside the epoch
+        # the loss moves, and the splat-population state that could move it
+        aux = getattr(tr, "last_epoch_aux", None)
+        if aux is not None and "loss" in aux:
+            la = np.asarray(aux["loss"])
+            stats["loss_first10"] = round(float(la[:10].mean()), 5)
+            stats["loss_last10"] = round(float(la[-10:].mean()), 5)
+            stats["loss_step_max_jump"] = int(np.argmax(np.abs(np.diff(la))))
+        p, st = tr.ts.params, tr.ts.state
+        alive = np.asarray(st.alive, bool)
+        if alive.any():
+            world_scale = np.exp(np.asarray(p.scaling))[alive]
+            stats["scale_p50"] = round(float(np.median(world_scale)), 5)
+            stats["scale_p99"] = round(
+                float(np.percentile(world_scale, 99)), 5)
+            stats["scale_max"] = round(float(world_scale.max()), 5)
+            op = 1.0 / (1.0 + np.exp(-np.asarray(p.opacity)[alive]))
+            stats["opacity_mean"] = round(float(op.mean()), 4)
+        curve.append(stats)
+        tr.logger.log(f"[diag] {stats}")
 
     cfg_hash = hashlib.sha256(json.dumps(
         dict(res=res, tex=tex, capacity=capacity, frames=frames,
-             epochs=epochs, render=str(render_cfg), backend=backend),
+             epochs=epochs, render=str(render_cfg), backend=backend,
+             densify=densify, prune=prune, reset=reset),
         sort_keys=True).encode()).hexdigest()[:12]
-    round_id = os.environ.get("VALIDATION_ROUND", "0")
     artifact = {
         "round": round_id, "backend": backend, "config_hash": cfg_hash,
         "res": res, "capacity": capacity, "frames": frames,
+        "cadence": {"densify": densify, "prune": prune, "reset": reset,
+                    "increase_num": increase_num},
         "curve": curve, "final_psnr": curve[-1]["psnr"],
         "best_psnr": max(e["psnr"] for e in curve),
         "steady_its": max(e["its"] for e in curve),
     }
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), f"VALIDATION_r{round_id}.json")
-    with open(out, "w") as f:
-        json.dump(artifact, f, indent=1)
-    print(f"[artifact] {out}: best PSNR {artifact['best_psnr']:.2f}, "
-          f"final {artifact['final_psnr']:.2f}, "
-          f"steady {artifact['steady_its']:.1f} it/s")
 
-    # Floor on the BEST epoch: this protocol densifies every 150 steps
-    # (20x the reference cadence, config/fateavatar.yaml:44) to exercise
-    # maintenance inside a 5-epoch run, so the post-densify epochs carry
-    # a transient ~0.3-1 dB dip while 1000 fresh splats re-fit; the
+    if bake_epochs > 0:
+        artifact["bake"] = _baked_fidelity(
+            model2, tr.ts.params, tr.ts.state, loss_fn, ds, render_cfg,
+            bake_epochs=bake_epochs, bake_poses=bake_poses,
+        )
+
+    if write_artifact:
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), f"VALIDATION_r{round_id}.json")
+        with open(out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"[artifact] {out}: best PSNR {artifact['best_psnr']:.2f}, "
+              f"final {artifact['final_psnr']:.2f}, "
+              f"steady {artifact['steady_its']:.1f} it/s")
+    return artifact
+
+
+def _baked_fidelity(model, params, state, loss_fn, ds, render_cfg,
+                    bake_epochs: int, bake_poses: int):
+    """Bake the trained avatar into UV textures and measure how faithfully
+    the continuous-texture render reproduces the discrete splat render
+    (reference: train/baker.py:120-191 trains to convergence in 5 epochs;
+    the baked avatar is SUPPOSED to be a drop-in replacement, so PSNR
+    between the two renders is the quality gate — VERDICT r4 item 5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fateavatar_tpu.models import fateavatar_forward, uv_decoder as uvd
+    from fateavatar_tpu.ops.camera import make_camera_np
+    from fateavatar_tpu.train.baker import UVBaker
+    from fateavatar_tpu.train.losses import psnr as psnr_fn, ssim as ssim_fn
+
+    t0 = time.perf_counter()
+    dec_model, net, net_vars = uvd.build_uv_decoder(
+        model, params, state,
+        decode_type="UNet", bake_attribute=("color", "opacity"),
+    )
+    baker = UVBaker(dec_model, net, net_vars, loss_fn, ds,
+                    workspace=None, render_cfg=render_cfg)
+    baker.bake(bake_epochs)
+    _, act = baker.textures()
+
+    baked_render = jax.jit(lambda e, p, cam: uvd.render_from_texture_dict(
+        baker.model, act, e, p, cam, render_cfg=render_cfg)["rgb_image"])
+    splat_render = jax.jit(lambda e, p, cam: fateavatar_forward(
+        model, params, state, e, p, cam,
+        render_cfg=render_cfg)["rgb_image"])
+
+    res = model.cfg.img_height
+    psnrs, ssims = [], []
+    idx = np.linspace(0, len(ds) - 1, bake_poses).astype(int)
+    for i in idx:
+        s = ds.sample(int(i))
+        cam_pose = np.asarray(s["cam_pose"], np.float32)
+        cam = make_camera_np(cam_pose[:3, :3].T, cam_pose[:3, 3],
+                             s["fovx"], s["fovy"], res, res)
+        e = jnp.asarray(s["expression"])
+        p = jnp.asarray(s["flame_pose"])
+        a, b = baked_render(e, p, cam), splat_render(e, p, cam)
+        psnrs.append(float(psnr_fn(a, b)))
+        ssims.append(float(ssim_fn(a, b)))
+    out = {
+        "epochs": bake_epochs, "poses": int(len(idx)),
+        "baked_psnr": round(float(np.mean(psnrs)), 3),
+        "baked_psnr_min": round(float(np.min(psnrs)), 3),
+        "baked_ssim": round(float(np.mean(ssims)), 4),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+    print(f"[bake] {out}")
+    return out
+
+
+def main(epochs: int = 3, frames: int = 100):
+    maint_on = int(os.environ.get("MAINT", "1"))
+    artifact = run_validation(
+        epochs=epochs, frames=frames,
+        densify=int(os.environ.get("DENSIFY", "150")) if maint_on else 10**9,
+        prune=int(os.environ.get("PRUNE", "200")) if maint_on else 10**9,
+        reset=(int(os.environ.get("RESET", str(10**9)))
+               if maint_on else 10**9),
+        bake_epochs=int(os.environ.get("BAKE", "0")),
+        bake_poses=int(os.environ.get("BAKE_POSES", "8")),
+        round_id=os.environ.get("VALIDATION_ROUND", "0"),
+    )
+
+    # Floor on the BEST epoch: the default protocol densifies every 150
+    # steps (20x the reference cadence, config/fateavatar.yaml:44) to
+    # exercise maintenance inside a 5-epoch run, so the post-densify epochs
+    # carry a transient ~0.3-1 dB dip while 1000 fresh splats re-fit; the
     # PRE-densify fit level is the regression signal. Measured r3:
     # best 23.93 at epoch 2, oscillating 22.7-23.7 after each event.
     min_psnr = float(os.environ.get("MIN_PSNR", "23.5"))
+    failed = False
     if epochs >= 3 and artifact["best_psnr"] < min_psnr:
         print(f"[FAIL] best PSNR {artifact['best_psnr']:.2f} < {min_psnr}")
+        failed = True
+    if "bake" in artifact:
+        baked_floor = float(os.environ.get("BAKED_MIN_PSNR", "28.0"))
+        if artifact["bake"]["baked_psnr"] < baked_floor:
+            print(f"[FAIL] baked PSNR {artifact['bake']['baked_psnr']:.2f}"
+                  f" < {baked_floor}")
+            failed = True
+    if failed:
         sys.exit(1)
 
 

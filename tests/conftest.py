@@ -41,6 +41,9 @@ FAST = (
     "test_ops.py::TestCamera::test_projection_maps_center",
     "test_ops.py::TestKNN::test_knn_matches_bruteforce",
     "test_flame.py::TestFlameForward::test_rest_pose_identity",
+    # reference-execution oracle: ONE representative (the FLAME forward is
+    # the highest-value substrate; the full class runs in the slow tier)
+    "test_reference_exec.py::TestFlameExec::test_forward_matches",
     "test_flame.py::TestFlameForward::test_jit_compiles",
     "test_flame.py::TestWorldTransform::test_euler_xyz_matches_scipy",
     # model + training step + maintenance + optim
