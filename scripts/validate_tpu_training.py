@@ -26,6 +26,12 @@ the artifact; fails (exit 1) if baked_psnr < ``BAKED_MIN_PSNR``
 produce, so the bar is higher than the reconstruction floor; reference
 behavior: train/baker.py:120-191, model/uv_decoder.py:564-690).
 
+Loss-recipe env knobs: ``SCALE_W`` (anisotropy-ratio scale loss weight,
+reference 0.1), ``LAPL_W`` (laplacian delta-blendshape loss, reference
+1e5), ``DSSIM_W`` (default 0.25 = the r1-r3 protocol; the reference ships
+dssim 0.0). The reference recipe also carries vgg 0.1, which needs
+pretrained weights (zero-egress) and stays off.
+
 Usage: python scripts/validate_tpu_training.py [epochs] [frames]
 """
 
@@ -52,6 +58,9 @@ def run_validation(
     bake_poses: int = 8,
     round_id: str = "0",
     write_artifact: bool = True,
+    scale_weight: float = 0.0,
+    laplacian_weight: float = 0.0,
+    dssim_weight: float = 0.25,
 ):
     """Run the fidelity protocol and return the artifact dict.
 
@@ -117,8 +126,14 @@ def run_validation(
           f"{time.perf_counter() - t0:.1f}s")
 
     model2, params, state = init_fateavatar(mesh, flame, cfg)
-    loss_fn = FateAvatarLoss(FateAvatarLossConfig(rgb_weight=1.0,
-                                                  dssim_weight=0.25))
+    # default = the r1-r3 protocol loss (rgb + dssim). The REFERENCE
+    # recipe (config/fateavatar.yaml loss.weight) is rgb 1.0 + scale 0.1
+    # (anisotropy ratio, threshold 9) + laplacian 1e5 + vgg 0.1; vgg
+    # needs pretrained weights (zero-egress) so it stays off here.
+    loss_fn = FateAvatarLoss(FateAvatarLossConfig(
+        rgb_weight=1.0, dssim_weight=dssim_weight,
+        scale_weight=scale_weight, scale_threshold=9.0,
+        laplacian_weight=laplacian_weight))
     tr = Trainer(
         name="tpu_validate", model=model2, params=params, state=state,
         loss_fn=loss_fn,
@@ -159,11 +174,15 @@ def run_validation(
     cfg_hash = hashlib.sha256(json.dumps(
         dict(res=res, tex=tex, capacity=capacity, frames=frames,
              epochs=epochs, render=str(render_cfg), backend=backend,
-             densify=densify, prune=prune, reset=reset),
+             densify=densify, prune=prune, reset=reset,
+             scale_w=scale_weight, lapl_w=laplacian_weight,
+             dssim_w=dssim_weight),
         sort_keys=True).encode()).hexdigest()[:12]
     artifact = {
         "round": round_id, "backend": backend, "config_hash": cfg_hash,
         "res": res, "capacity": capacity, "frames": frames,
+        "loss": {"rgb": 1.0, "dssim": dssim_weight, "scale": scale_weight,
+                 "laplacian": laplacian_weight},
         "cadence": {"densify": densify, "prune": prune, "reset": reset,
                     "increase_num": increase_num},
         "curve": curve, "final_psnr": curve[-1]["psnr"],
@@ -255,6 +274,9 @@ def main(epochs: int = 3, frames: int = 100):
         bake_epochs=int(os.environ.get("BAKE", "0")),
         bake_poses=int(os.environ.get("BAKE_POSES", "8")),
         round_id=os.environ.get("VALIDATION_ROUND", "0"),
+        scale_weight=float(os.environ.get("SCALE_W", "0.0")),
+        laplacian_weight=float(os.environ.get("LAPL_W", "0.0")),
+        dssim_weight=float(os.environ.get("DSSIM_W", "0.25")),
     )
 
     # Floor on the BEST epoch: the default protocol densifies every 150
