@@ -501,6 +501,11 @@ class Trainer:
             self.save_checkpoint()
 
     def train_epoch(self):
+        # only the scan path repopulates this; clear it so a mode switch
+        # (scan -> per-step, e.g. on 1-core CPU where the A/B prefers
+        # per-step) can't leave a STALE per-step loss trace for consumers
+        # like the fidelity validation's collapse diagnostics
+        self.last_epoch_aux = None
         if self.dp_mesh is not None:
             return self._train_epoch_dp()
         # runtime mode selection: on remote (tunnelled) backends the

@@ -11,12 +11,16 @@ program, so "compiles + executes + finite outputs" here rules out the
 toolchain-incompatibility class, leaving only true >1-device ICI behavior
 untested (impossible in this environment).
 
-Covers:
-  * splat-sharded render (parallel/splat_parallel.py) on a 1-device
-    ('gauss',) mesh at 512^2 / 65k splats — production shape,
+Covers (cheapest first, so partial evidence lands even if a tunnel
+compile exhausts the budget):
+  * the Pallas tile blend inside a shard_map body (with a psum) and under
+    GSPMD value_and_grad — the Mosaic-inside-mesh-program composition,
   * 2-D mesh train step (parallel/mesh2d.py) on a 1x1 ('data','gauss')
     mesh at 128^2 / 4.6k splats with in-jit sharded densify,
-  * 2-D mesh tracking step on the same mesh.
+  * 2-D mesh tracking step on the same mesh,
+  * splat-sharded render (parallel/splat_parallel.py) on a 1-device
+    ('gauss',) mesh at MOSAIC_RES (default 512^2 / 65k splats —
+    production shape; 256/128 shrink it if the tunnel compile stalls).
 
 Appends a {"backend": "tpu", ...} section to MULTICHIP_r<N>.json
 (MULTICHIP_ROUND env var, default "0").
@@ -73,13 +77,73 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    # ---- scenario 0: Pallas blend under shard_map / GSPMD ---------------
+    # The single-chip trainer already compiles the Pallas blend on TPU, but
+    # never UNDER a mesh program. This is the exact composition VERDICT r4
+    # item 6 calls out (shard_map + collectives + the Pallas kernel): a
+    # 1-device mesh still routes the kernel through Mosaic inside the
+    # sharded-program compilation path.
+    def pallas_in_mesh():
+        from fateavatar_tpu.render.render import RenderConfig, render
+        from jax import shard_map
+
+        res = 256
+        flame = synthetic_flame(n_verts=256, n_shape=6, n_exp=4, seed=0)
+        from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
+        mesh_obj = sphere_obj_mesh(256)
+        cfg = FateAvatarConfig(tex_size=64, capacity=4096,
+                               img_height=res, img_width=res,
+                               normal_offset=0.02)
+        model, params, state = init_fateavatar(mesh_obj, flame, cfg)
+        dmesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+        gaussians, _, _ = build_gaussians(
+            model, params, state, jnp.zeros(6), jnp.zeros(15))
+        cam = make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
+                          0.8, 0.8, res, res)
+        rc = RenderConfig(impl="pallas", max_per_tile=256,
+                          instance_budget=4 * 4096, max_tiles_per_gaussian=8)
+
+        def body(g):
+            out = render(cam, g, jnp.ones(3), config=rc)
+            # a collective in the same program, so the compiled module is
+            # a real mesh program, not a degenerate single-device jit
+            return jax.lax.psum(out["render"], "data")
+
+        img = shard_map(body, mesh=dmesh, in_specs=(P(),), out_specs=P(),
+                        check_vma=False)(gaussians)
+        jax.block_until_ready(img)
+        assert np.isfinite(np.asarray(img)).all()
+
+        # and through GSPMD: jit with sharding-annotated inputs + grad.
+        # Differentiate w.r.t. xyz only — the Gaussians pytree has a bool
+        # `alive` leaf, which value_and_grad over the whole tree rejects.
+        gr = jax.device_put(gaussians, NamedSharding(dmesh, P()))
+
+        def loss(xyz):
+            g = gr.replace(xyz=xyz)
+            return jnp.mean(render(cam, g, jnp.ones(3), config=rc)["render"])
+
+        t0 = time.perf_counter()
+        val, grads_xyz = jax.jit(jax.value_and_grad(loss))(gr.xyz)
+        jax.block_until_ready(val)
+        gspmd_s = time.perf_counter() - t0
+        assert np.isfinite(float(val))
+        gnorm = float(jnp.linalg.norm(grads_xyz))
+        assert np.isfinite(gnorm) and gnorm > 0
+        return {"res": res, "gspmd_grad_compile_s": round(gspmd_s, 1),
+                "grad_xyz_norm": round(gnorm, 5)}
+
+    record("pallas_blend_in_mesh_program", pallas_in_mesh)
+
     # ---- scenario 1: splat-sharded render at production shape ----------
     def splat_sharded():
-        res, capacity = 512, 65_536
+        res = int(os.environ.get("MOSAIC_RES", "512"))
+        capacity = {512: 65_536, 256: 16_384, 128: 4_096}[res]
         flame = synthetic_flame(n_verts=512, n_shape=8, n_exp=6, seed=0)
         from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
         mesh_obj = sphere_obj_mesh(512)
-        cfg = FateAvatarConfig(tex_size=256, capacity=capacity,
+        tex = int(round(capacity ** 0.5))
+        cfg = FateAvatarConfig(tex_size=tex, capacity=capacity,
                                img_height=res, img_width=res,
                                normal_offset=0.02)
         model, params, state = init_fateavatar(mesh_obj, flame, cfg)
@@ -108,8 +172,6 @@ def main():
                 "compile_s": round(compile_s, 1),
                 "warm_ms": round(warm_ms, 2),
                 "dropped": int(dropped)}
-
-    record("splat_sharded_render_512_65k", splat_sharded)
 
     # ---- scenario 2+3: 2-D mesh train + tracking steps ------------------
     def mesh2d_steps():
@@ -185,6 +247,11 @@ def main():
                 "tracking_compile_s": round(track_compile_s, 1)}
 
     record("mesh2d_train_and_tracking_1x1", mesh2d_steps)
+
+    # most expensive last so cheap evidence lands even if this one
+    # exhausts the tunnel-compile budget (MOSAIC_RES to shrink it)
+    _res = os.environ.get("MOSAIC_RES", "512")
+    record(f"splat_sharded_render_{_res}", splat_sharded)
 
     round_id = os.environ.get("MULTICHIP_ROUND", "0")
     out = os.path.join(os.path.dirname(os.path.dirname(
