@@ -62,7 +62,11 @@ def main():
     results = {"backend": backend, "device": str(jax.devices()[0]),
                "scenarios": {}}
 
+    only = os.environ.get("MOSAIC_ONLY", "")
+
     def record(name, fn):
+        if only and only not in name:
+            return
         t0 = time.perf_counter()
         try:
             out = fn()
@@ -153,18 +157,21 @@ def main():
         g = jax.device_put(gaussians, NamedSharding(gmesh, P("gauss")))
         cam = make_camera(jnp.eye(3), jnp.array([0.0, 0.0, 0.4]),
                           0.8, 0.8, res, res)
+        # jit the wrapper: eager shard_map re-TRACES the full render
+        # pipeline every call (~200 s of host Python per dispatch on this
+        # 1-core box — the r4c run's warm_ms=200660 measured tracing, not
+        # the device), so the steady-state number needs a cached program
+        fn = jax.jit(lambda gg: render_splat_sharded(
+            cam, gg, jnp.ones(3), gmesh,
+            max_per_tile=1024, pair_budget=2 * capacity, chunk=64))
         t0 = time.perf_counter()
-        img, dropped = render_splat_sharded(
-            cam, g, jnp.ones(3), gmesh,
-            max_per_tile=1024, pair_budget=2 * capacity, chunk=64)
+        img, dropped = fn(g)
         jax.block_until_ready(img)
         compile_s = time.perf_counter() - t0
         # warm re-dispatch for the steady-state number
         t0 = time.perf_counter()
         for _ in range(5):
-            img, dropped = render_splat_sharded(
-                cam, g, jnp.ones(3), gmesh,
-                max_per_tile=1024, pair_budget=2 * capacity, chunk=64)
+            img, dropped = fn(g)
         jax.block_until_ready(img)
         warm_ms = (time.perf_counter() - t0) / 5 * 1e3
         assert np.isfinite(np.asarray(img)).all()
@@ -260,6 +267,13 @@ def main():
     if os.path.exists(out):
         with open(out) as f:
             existing = json.load(f)
+    # MERGE scenarios so a MOSAIC_ONLY re-run updates one row without
+    # discarding the others' evidence
+    prior = existing.get("tpu_mosaic_1x1", {})
+    if prior.get("scenarios"):
+        merged = dict(prior["scenarios"])
+        merged.update(results["scenarios"])
+        results["scenarios"] = merged
     existing["tpu_mosaic_1x1"] = results
     with open(out, "w") as f:
         json.dump(existing, f, indent=1)
