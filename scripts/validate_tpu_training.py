@@ -61,6 +61,9 @@ def run_validation(
     scale_weight: float = 0.0,
     laplacian_weight: float = 0.0,
     dssim_weight: float = 0.25,
+    render_impl: str = "",
+    max_per_tile: int = 1024,
+    budget_x: int = 2,
 ):
     """Run the fidelity protocol and return the artifact dict.
 
@@ -92,8 +95,9 @@ def run_validation(
     cfg = FateAvatarConfig(tex_size=tex, capacity=capacity, img_height=res,
                            img_width=res, normal_offset=0.02)
     render_cfg = RenderConfig(
-        impl="pallas" if backend == "tpu" else "xla",
-        max_per_tile=1024, chunk=64, instance_budget=2 * capacity,
+        impl=render_impl or ("pallas" if backend == "tpu" else "xla"),
+        max_per_tile=max_per_tile, chunk=64,
+        instance_budget=budget_x * capacity,
         max_tiles_per_gaussian=8,
     )
 
@@ -277,6 +281,9 @@ def main(epochs: int = 3, frames: int = 100):
         scale_weight=float(os.environ.get("SCALE_W", "0.0")),
         laplacian_weight=float(os.environ.get("LAPL_W", "0.0")),
         dssim_weight=float(os.environ.get("DSSIM_W", "0.25")),
+        render_impl=os.environ.get("RENDER_IMPL", ""),
+        max_per_tile=int(os.environ.get("MAX_PER_TILE", "1024")),
+        budget_x=int(os.environ.get("BUDGET_X", "2")),
     )
 
     # Floor on the BEST epoch: the default protocol densifies every 150
