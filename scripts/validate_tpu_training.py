@@ -28,9 +28,17 @@ behavior: train/baker.py:120-191, model/uv_decoder.py:564-690).
 
 Loss-recipe env knobs: ``SCALE_W`` (anisotropy-ratio scale loss weight,
 reference 0.1), ``LAPL_W`` (laplacian delta-blendshape loss, reference
-1e5), ``DSSIM_W`` (default 0.25 = the r1-r3 protocol; the reference ships
-dssim 0.0). The reference recipe also carries vgg 0.1, which needs
-pretrained weights (zero-egress) and stays off.
+1e5), ``DSSIM_W`` (default 0.0 = the REFERENCE recipe,
+config/fateavatar.yaml loss.weight.dssim_loss: 0). The r1-r3 protocol ran
+DSSIM_W=0.25, and the r4 root-cause A/B (probe P1, docs/STATUS_ROUND4.md)
+showed that term IS the long-horizon degradation driver: at 6500 steps it
+rewards blur, growing splat scales ~5x (p99 0.0005->0.0026) until
+static-cap tile overflow (3.6M drops/epoch) corrupts gradients —
+PSNR decays 23.7->19.8. Pure L1 on the same protocol climbs monotonically
+to 34.9 with scales at init and negligible overflow. Our d_ssim math is
+oracle-pinned to the reference's (tests/test_reference_exec.py), so this
+was a protocol deviation, not a math bug. The reference recipe also
+carries vgg 0.1, which needs pretrained weights (zero-egress), stays off.
 
 Usage: python scripts/validate_tpu_training.py [epochs] [frames]
 """
@@ -60,7 +68,7 @@ def run_validation(
     write_artifact: bool = True,
     scale_weight: float = 0.0,
     laplacian_weight: float = 0.0,
-    dssim_weight: float = 0.25,
+    dssim_weight: float = 0.0,
     render_impl: str = "",
     max_per_tile: int = 1024,
     budget_x: int = 2,
@@ -280,7 +288,7 @@ def main(epochs: int = 3, frames: int = 100):
         round_id=os.environ.get("VALIDATION_ROUND", "0"),
         scale_weight=float(os.environ.get("SCALE_W", "0.0")),
         laplacian_weight=float(os.environ.get("LAPL_W", "0.0")),
-        dssim_weight=float(os.environ.get("DSSIM_W", "0.25")),
+        dssim_weight=float(os.environ.get("DSSIM_W", "0.0")),
         render_impl=os.environ.get("RENDER_IMPL", ""),
         max_per_tile=int(os.environ.get("MAX_PER_TILE", "1024")),
         budget_x=int(os.environ.get("BUDGET_X", "2")),
