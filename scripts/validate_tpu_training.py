@@ -250,9 +250,16 @@ def _baked_fidelity(model, params, state, loss_fn, ds, render_cfg,
     splat_render = jax.jit(lambda e, p, cam: fateavatar_forward(
         model, params, state, e, p, cam,
         render_cfg=render_cfg)["rgb_image"])
+    # diagnostic split: net-forward render (the training path) vs the
+    # texture-export render (the product path). If net_psnr >> baked_psnr
+    # the exporter is losing quality; if they track, the gap is bake
+    # convergence.
+    net_render = jax.jit(lambda e, p, cam: uvd.uv_decoder_forward(
+        baker.model, baker.net, baker.net_vars, e, p, cam,
+        render_cfg=render_cfg, train=False)[0]["rgb_image"])
 
     res = model.cfg.img_height
-    psnrs, ssims = [], []
+    psnrs, ssims, net_psnrs = [], [], []
     idx = np.linspace(0, len(ds) - 1, bake_poses).astype(int)
     for i in idx:
         s = ds.sample(int(i))
@@ -264,11 +271,13 @@ def _baked_fidelity(model, params, state, loss_fn, ds, render_cfg,
         a, b = baked_render(e, p, cam), splat_render(e, p, cam)
         psnrs.append(float(psnr_fn(a, b)))
         ssims.append(float(ssim_fn(a, b)))
+        net_psnrs.append(float(psnr_fn(net_render(e, p, cam), b)))
     out = {
         "epochs": bake_epochs, "poses": int(len(idx)),
         "baked_psnr": round(float(np.mean(psnrs)), 3),
         "baked_psnr_min": round(float(np.min(psnrs)), 3),
         "baked_ssim": round(float(np.mean(ssims)), 4),
+        "net_psnr": round(float(np.mean(net_psnrs)), 3),
         "wall_s": round(time.perf_counter() - t0, 1),
     }
     print(f"[bake] {out}")
