@@ -112,7 +112,12 @@ def main(out_root="/tmp/fav_verify", res=64, n_verts=96, n_frames=4):
                 "exp_path": f"flame/exp/{name}.txt",
                 "transform_matrix": c2w.tolist(),
             })
-        meta = {"frames": frames, "fl_x": 800.0 * res / 512, "fl_y": 800.0 * res / 512,
+        # fl 2000@512 puts the r=0.1 sphere head at ~400 px from z=1 —
+        # real-capture framing (face fills most of the frame); fl 800 left
+        # it at 160 px, below the FFHQ-align 256-px floor
+        # (train_generate_pseudo min_face_size = res/2), which silently
+        # disabled the crop->PTI->paste-back path in the e2e chain
+        meta = {"frames": frames, "fl_x": 2000.0 * res / 512, "fl_y": 2000.0 * res / 512,
                 "cx": res / 2, "cy": res / 2, "w": res, "h": res}
         with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
             json.dump(meta, f)
@@ -156,4 +161,12 @@ assets:
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:2] or ["/tmp/fav_verify"]))
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out_root", nargs="?", default="/tmp/fav_verify")
+    ap.add_argument("--res", type=int, default=64)
+    ap.add_argument("--n-verts", type=int, default=96)
+    ap.add_argument("--n-frames", type=int, default=4)
+    a = ap.parse_args()
+    main(a.out_root, res=a.res, n_verts=a.n_verts, n_frames=a.n_frames)
