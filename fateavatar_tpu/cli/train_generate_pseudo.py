@@ -15,7 +15,12 @@ def main(argv=None):
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--workspace", type=str, required=True)
     parser.add_argument("--num_views", type=int, default=30)
-    parser.add_argument("--orbit_radius", type=float, default=2.7)
+    parser.add_argument("--orbit_radius", type=float, default=None,
+                        help="orbit camera distance; default = the "
+                             "subject's own camera z distance (the "
+                             "reference orbits at gs_camera_radius = "
+                             "camera_translation[-1], completion.py:101 — "
+                             "NOT the EG3D GAN-space 2.7)")
     parser.add_argument("--bisenet_weights", type=str, default=None,
                         help="face-parsing.PyTorch 79999_iter.pth; enables "
                              "native BiSeNet head masks for stage 8")
@@ -103,11 +108,17 @@ def main(argv=None):
         g_params, g_cfg, _ = load_gfpgan_from_torch(args.gfpgan_weights)
         restorer_fn = GFPGANRestorer(g_params, g_cfg)
 
+    orbit_radius = args.orbit_radius
+    if orbit_radius is None:
+        # reference: gs_camera_radius = camera_translation[-1]
+        # (completion.py:101) — orbit at the SUBJECT's capture distance so
+        # the face size in orbit renders matches the training footage
+        orbit_radius = abs(float(identity["world_mat0"][2][3]))
     gen = PseudoGenerator(
         model, loader.params, loader.state,
         PseudoGeneratorConfig(
             num_views=args.num_views,
-            orbit_radius=args.orbit_radius,
+            orbit_radius=orbit_radius,
             out_dir=f"{args.workspace}/pseudo",
             # the reference rejects crops whose face is < 256 px at 512^2
             # renders (affine_util.py:99) — scale with render resolution

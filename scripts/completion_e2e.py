@@ -152,7 +152,10 @@ def main():
         loader = Loader(model, params0, state0, ws,
                         render_cfg=common.render_config(cfg))
         n = 8
-        cams, _ = orbit_cameras(n, np.zeros(3), 2.7,
+        # orbit at the subject's capture distance (completion.py:101), not
+        # the EG3D GAN-space 2.7 — see train_generate_pseudo --orbit_radius
+        radius = abs(float(identity["world_mat0"][2][3]))
+        cams, _ = orbit_cameras(n, np.zeros(3), radius,
                                 identity["fovx"], identity["fovy"],
                                 args.res, args.res)
         cols = []
