@@ -724,13 +724,35 @@ def sec_scale200k():
     out["train_ms_per_step"] = round(1000 / its, 2)
     out["train_overflow_total"] = ovf_total["n"]
 
+    # HBM high-water: the axon tunnel returns memory_stats()=None, so use
+    # XLA's own compiled memory analysis (exact, backend-independent) —
+    # temp + argument + output bytes of the scanned train step is the
+    # step's device-memory footprint.
     try:
         ms = jax.devices()[0].memory_stats() or {}
         for k_ in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
             if k_ in ms:
                 out[f"hbm_{k_}"] = int(ms[k_])
-    except Exception:           # tunnel backends may not expose stats
-        out["hbm_stats"] = "unavailable"
+        mem = scan_steps.lower(box["ts"], 4 if SMOKE else 20).compile() \
+                        .memory_analysis()
+        if mem is not None:
+            arg = int(mem.argument_size_in_bytes)
+            tmp = int(mem.temp_size_in_bytes)
+            outb = int(mem.output_size_in_bytes)
+            # donated TrainState aliases output onto argument buffers —
+            # don't double-count the aliased bytes
+            alias = int(getattr(mem, "alias_size_in_bytes", 0) or 0)
+            out["hbm_train_step"] = {
+                "argument_mb": round(arg / 2**20, 1),
+                "temp_mb": round(tmp / 2**20, 1),
+                "output_mb": round(outb / 2**20, 1),
+                "alias_mb": round(alias / 2**20, 1),
+                "high_water_mb": round((arg + tmp + outb - alias) / 2**20, 1),
+                "source": "XLA compiled memory_analysis "
+                          "(tunnel memory_stats()=None)",
+            }
+    except Exception as e:      # tunnel backends may not expose stats
+        out["hbm_stats"] = f"unavailable ({type(e).__name__})"
     out["desc"] = (f"200k-cap scale point: {alive} alive splats, {RES}^2, "
                    "autosized caps, reference train loss")
     return out
