@@ -253,6 +253,72 @@ def main():
 
     its, mode = max((scan_its, "scan"), (d_its, "per-dispatch"))
 
+    # ---- MFU / roofline (VERDICT r5 item 4): ground "fast" in the chip's
+    # ceiling, not only the 20 it/s GPU proxy. FLOPs and bytes come from
+    # XLA's own cost model of the COMPILED train step (the same numbers
+    # the compiler schedules against); achieved rates divide by the
+    # measured median step time. Peak table: TPU v5e (v5 lite) 197 bf16
+    # TFLOP/s MXU, 819 GB/s HBM; v4 275/1228; v5p 459/2765. Caveat noted
+    # in the artifact: the rasterizer core is fp32 (half MXU rate) and
+    # XLA's "bytes accessed" counts logical op traffic, not post-fusion
+    # HBM traffic — both make pct_peak conservative-to-approximate.
+    mfu = None
+    if its > 0:
+        try:
+            compiled = step.lower(
+                init_train_state(params, state, opt), frame).compile()
+            cost = compiled.cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0))
+            acc_bytes = float(cost.get("bytes accessed", 0.0))
+            peaks = {
+                "TPU v5 lite": (197e12, 819e9),
+                "TPU v5e": (197e12, 819e9),
+                "TPU v5p": (459e12, 2765e9),
+                "TPU v4": (275e12, 1228e9),
+            }
+            kind = jax.devices()[0].device_kind
+            peak_flops, peak_bw = peaks.get(kind, (0.0, 0.0))
+            step_s = 1.0 / its
+            mfu = {
+                "device_kind": kind,
+                "gflops_per_step": round(flops / 1e9, 2),
+                "gbytes_accessed_per_step": round(acc_bytes / 1e9, 3),
+                "achieved_tflops": round(flops / step_s / 1e12, 3),
+                "achieved_hbm_gbps": round(acc_bytes / step_s / 1e9, 1),
+                "pct_peak_bf16_mxu": (
+                    round(100 * flops / step_s / peak_flops, 2)
+                    if peak_flops else None),
+                "pct_peak_hbm_bw": (
+                    round(100 * acc_bytes / step_s / peak_bw, 1)
+                    if peak_bw else None),
+                "peak_ref": {"bf16_tflops": peak_flops / 1e12 or None,
+                             "hbm_gbps": peak_bw / 1e9 or None},
+                "note": ("XLA cost-model flops/bytes of the compiled step; "
+                         "rasterizer core is fp32 (~1/2 MXU rate), VGG16 "
+                         "runs bf16; bytes are logical accesses (pre-"
+                         "fusion), so pct_peak_hbm_bw overstates true HBM "
+                         "traffic — treat as bounds, see "
+                         "docs/artifacts/profile_phases.json for the "
+                         "measured per-phase device-time split"),
+            }
+            print(f"[mfu] {json.dumps(mfu)}", file=sys.stderr)
+        except Exception as e:   # tunnel backends may lack cost_analysis
+            print(f"[mfu] unavailable: {e!r}", file=sys.stderr)
+
+    # per-phase device-time table, recorded separately on the chip by
+    # scripts/profile_train_step.py (xprof trace parse); inlined here so
+    # BENCH_r<N>.json carries the breakdown next to the headline number
+    phases = None
+    try:
+        ppath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "docs", "artifacts", "profile_phases.json")
+        if os.path.exists(ppath):
+            with open(ppath) as f:
+                phases = json.load(f)
+    except Exception:
+        phases = None
+
     # ---- secondary: the round-1 headline config (rgb + DSSIM 0.25), for
     # cross-round comparability ----
     dssim_loss = FateAvatarLoss(
@@ -298,6 +364,10 @@ def main():
         "unit": "it/s",
         "vs_baseline": round(its / 20.0, 3),
     }
+    if mfu is not None:
+        result["mfu"] = mfu
+    if phases is not None:
+        result["phases"] = phases
     print(json.dumps(result))
 
 

@@ -390,6 +390,13 @@ class Trainer:
         # so scan mode holds ONE copy of the dataset in HBM (evaluate on
         # the train set / snapshots lazily re-upload the frames they touch)
         self._frame_cache.clear()
+        self._scan_epoch = (self._build_scan_epoch_fn(), stacked, False)
+        self.logger.log(
+            f"[scan] epoch compiled as one lax.scan over {n} "
+            "device-resident frames")
+        return self._scan_epoch
+
+    def _build_scan_epoch_fn(self):
         if self.adapter is None:
             raw_step = make_train_step(
                 self.model, self.loss_fn, self.optimizer, self.maint_cfg,
@@ -409,11 +416,44 @@ class Trainer:
                                                 jnp.zeros((), jnp.int32))}
             return jax.lax.scan(body, ts, fr, unroll=self.scan_unroll)
 
-        self._scan_epoch = (epoch_fn, stacked, False)
-        self.logger.log(
-            f"[scan] epoch compiled as one lax.scan over {n} "
-            "device-resident frames")
-        return self._scan_epoch
+        return epoch_fn
+
+    def set_render_cfg(self, render_cfg: RenderConfig):
+        """Swap binning capacities mid-run (adaptive autosizing: the
+        validation protocol re-probes and grows the caps when a training
+        epoch reports tile overflow — the XLA analogue of the CUDA
+        reference's exact per-frame buffer allocation,
+        rasterizer_impl.cu:277-285). Rebuilds the jitted closures; the next
+        dispatch pays one recompile."""
+        if self.adapter is not None or self.dp_mesh is not None:
+            raise NotImplementedError(
+                "adaptive render_cfg swap supports the built-in single-"
+                "device FateAvatar path only")
+        self.render_cfg = render_cfg
+        self.train_step = make_train_step(
+            self.model, self.loss_fn, self.optimizer, self.maint_cfg,
+            render_cfg)
+
+        def _forward(p, st, expr, pose, camera, world_transform=None):
+            return fateavatar_forward(
+                self.model, p, st, expr, pose, camera,
+                bg_color=self.bg_color, render_cfg=render_cfg,
+                world_transform=world_transform,
+            )
+
+        self._forward = _forward
+        self._visualize = lambda p, st, expr, pose, camera: (
+            fateavatar_visualization(self.model, p, st, expr, pose, camera,
+                                     render_cfg=render_cfg))
+        scan = getattr(self, "_scan_epoch", None)
+        if scan is not None:
+            if scan[2]:   # tracking scan-epoch: rebuild via its own builder
+                self._scan_epoch = None
+                self._scan_epoch = self._build_scan_epoch_tracking(
+                    len(self.train_dataset))
+            else:         # reuse the device-resident stacked frames
+                self._scan_epoch = (self._build_scan_epoch_fn(), scan[1],
+                                    False)
 
     def _build_scan_epoch_tracking(self, n: int):
         """Scan-epoch for TRACKING datasets (the IMAvatar path): each frame
@@ -539,13 +579,16 @@ class Trainer:
         # loss.item() every step, train/trainer.py:191-200 — a per-step
         # host round-trip we deliberately avoid).
         pending = []
+        ovf_total = 0
 
         def flush():
+            nonlocal ovf_total
             for a in jax.device_get(pending):
                 meters["loss"].update(float(a["loss"]))
                 if "psnr" in a:
                     meters["psnr"].update(float(a["psnr"]))
                 if int(a.get("overflow", 0)) > 0:
+                    ovf_total += int(a["overflow"])
                     self.logger.file_only(
                         f"[WARN] {int(a['overflow'])} tile instances dropped "
                         "(raise max_per_tile)"
@@ -599,6 +642,7 @@ class Trainer:
             "epoch": self.epoch, "mode": "per-step",
             "its": n / max(dt, 1e-9), "loss": meters["loss"].measure(),
             "psnr": meters["psnr"].measure(),
+            "overflow": ovf_total,
             "alive": (int(jnp.sum(self.ts.state.alive))
                       if hasattr(self.ts.state, "alive") else None),
         }

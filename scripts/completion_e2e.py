@@ -128,8 +128,12 @@ def main():
         from fateavatar_tpu.cli.train_full_avatar import main as full_avatar
         full_avatar(["--config", cfg_path, "--workspace", ws,
                      "--finetune_epochs", "1"] + overrides)
-        orbit = os.path.join(ws, "media", "fullhead_orbit.mp4")
-        return {"orbit_mp4": os.path.exists(orbit)}
+        # write_video falls back to an animated GIF when no ffmpeg binary
+        # is present (utils/logging.py:85) — count either container
+        orbit = os.path.join(ws, "media", "fullhead_orbit")
+        written = [ext for ext in (".mp4", ".gif")
+                   if os.path.exists(orbit + ext)]
+        return {"orbit_video": written[0] if written else None}
 
     staged("D_train_full_avatar", stage_d)
 

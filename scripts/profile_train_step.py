@@ -148,6 +148,54 @@ def main():
               f"{str(r[i['tf_op_name']])[:52]:52s} {src}")
     print("saved", out)
 
+    # ---- per-phase bucket table (VERDICT r5 item 4): attribute each op's
+    # self-time to a pipeline phase by its source file. Caveat: XLA fuses
+    # across phase boundaries and transposed (backward) ops carry their
+    # forward op's source line, so "blend" includes its VJP and the split
+    # is the compiler's attribution, not a hand-instrumented one.
+    buckets = {
+        "preprocess.py": "preprocess", "binning.py": "binning",
+        "blend_": "blend+vjp", "render.py": "render_facade",
+        "losses.py": "loss+vgg", "flame": "flame_deform",
+        "fateavatar.py": "model_build", "maintenance.py": "maintenance",
+        "optim.py": "optimizer", "step.py": "step_glue",
+        "sampling.py": "model_build", "mesh.py": "model_build",
+        "quaternion.py": "model_build", "sh.py": "preprocess",
+    }
+    phase_ms = {}
+    for r in rows:
+        src = str(r[i["source_info"]])
+        t_ms = (r[i["total_self_time"]] or 0) / 1e3 / steps
+        name = "other"
+        for pat, ph in buckets.items():
+            if pat in src:
+                name = ph
+                break
+        phase_ms[name] = phase_ms.get(name, 0.0) + t_ms
+    phase_ms = {k: round(v, 3) for k, v in
+                sorted(phase_ms.items(), key=lambda kv: -kv[1])}
+    env_tag = {k: os.environ.get(k) for k in
+               ("PROF_VGG", "PROF_MAINT", "PROF_SCAN", "PROF_BINNING",
+                "PROF_TAIL_K", "PROF_R") if os.environ.get(k)}
+    table = {
+        "device_total_ms_per_step": round(tot / 1e3 / steps, 3),
+        "steps": steps,
+        "phase_ms": phase_ms,
+        "config": {"res": 512, "splats": 65536, "capacity": 70000,
+                   **env_tag},
+        "backend": jax.default_backend(),
+        "note": ("xprof hlo_stats self-time bucketed by source file; "
+                 "backward (transposed) ops attribute to their forward "
+                 "phase; cross-phase fusions attribute to the fusion "
+                 "root"),
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ppath = os.path.join(repo, "docs", "artifacts", "profile_phases.json")
+    os.makedirs(os.path.dirname(ppath), exist_ok=True)
+    with open(ppath, "w") as f:
+        json.dump(table, f, indent=1)
+    print(f"[artifact] {ppath}: {phase_ms}")
+
 
 if __name__ == "__main__":
     main()

@@ -79,6 +79,8 @@ def run_validation(
     render_impl: str = "",
     max_per_tile: int = 1024,
     budget_x: int = 2,
+    autosize: bool = None,
+    section: str = "",
 ):
     """Run the fidelity protocol and return the artifact dict.
 
@@ -104,6 +106,8 @@ def run_validation(
     from fateavatar_tpu.utils.obj_io import sphere_obj_mesh
 
     backend = jax.default_backend()
+    if autosize is None:
+        autosize = bool(int(os.environ.get("AUTOSIZE", "1")))
     n_verts = min(512, max(96, res))
     flame = synthetic_flame(n_verts=n_verts, n_shape=8, n_exp=6, seed=0)
     mesh = sphere_obj_mesh(n_verts)
@@ -166,6 +170,46 @@ def run_validation(
           f"{time.perf_counter() - t0:.1f}s")
 
     model2, params, state = init_fateavatar(mesh, flame, cfg)
+
+    # Workload-driven binning caps (VERDICT r5 item 3): instead of the fixed
+    # budget_x*capacity the r1-r4 protocol used (2N — measured peak late in
+    # the r4 curve was ~2.4 instances/splat, hence the 19.5k-25.8k drops per
+    # epoch in VALIDATION_r4.json), probe the true tile occupancy of BOTH
+    # endpoint states the run will visit — the init avatar and the GT avatar
+    # it converges toward — and size with generous growth headroom
+    # (densify events add increase_num splats; scale_max drifted 1.4x over
+    # the r4 curve). The CUDA reference never drops an instance (exact
+    # per-frame allocation, rasterizer_impl.cu:277-285); target overflow=0.
+    resize_log = []
+    if autosize:
+        from fateavatar_tpu.render.autosize import autosize_render_config
+        from fateavatar_tpu.train.step import Frame
+
+        probes = []
+        for i in np.linspace(0, frames - 1, 4).astype(int):
+            s = ds.sample(int(i))
+            cam_pose = np.asarray(s["cam_pose"], np.float32)
+            probes.append(Frame(
+                expression=jnp.asarray(s["expression"], jnp.float32),
+                flame_pose=jnp.asarray(s["flame_pose"], jnp.float32),
+                camera=make_camera_np(cam_pose[:3, :3].T, cam_pose[:3, 3],
+                                      s["fovx"], s["fovy"], res, res),
+                rgb=jnp.zeros((1, 1, 3)), bg_color=jnp.ones(3)))
+        sized = []
+        for p_, s_ in ((gt_params, gt_state), (params, state)):
+            sized.append(autosize_render_config(
+                model2, p_, s_, probes, render_cfg,
+                safety=2.5, r_headroom=2, log_fn=print))
+        render_cfg = render_cfg.replace(
+            instance_budget=max(c.instance_budget for c in sized),
+            max_tiles_per_gaussian=max(c.max_tiles_per_gaussian
+                                       for c in sized),
+        )
+        print(f"[autosize] sized caps: instance_budget="
+              f"{render_cfg.instance_budget} "
+              f"({render_cfg.instance_budget / capacity:.2f}N), "
+              f"R={render_cfg.max_tiles_per_gaussian}")
+
     # default = the r1-r3 protocol loss (rgb + dssim). The REFERENCE
     # recipe (config/fateavatar.yaml loss.weight) is rgb 1.0 + scale 0.1
     # (anisotropy ratio, threshold 9) + laplacian 1e5 + vgg 0.1; vgg
@@ -210,6 +254,33 @@ def run_validation(
             stats["opacity_mean"] = round(float(op.mean()), 4)
         curve.append(stats)
         tr.logger.log(f"[diag] {stats}")
+        # adaptive backstop (expected unused): if an epoch still overflowed
+        # at the probed caps, re-probe the CURRENT splat state and grow the
+        # caps before the next epoch (one recompile) — the artifact records
+        # every resize so a nonzero-overflow epoch is visible evidence, not
+        # a silent approximation
+        if autosize and stats.get("overflow", 0):
+            from fateavatar_tpu.render.autosize import autosize_render_config
+
+            grown = autosize_render_config(
+                model2, tr.ts.params, tr.ts.state, probes,
+                tr.render_cfg, safety=2.5 * 1.5 ** (len(resize_log) + 1),
+                r_headroom=2, log_fn=print)
+            new_cfg = tr.render_cfg.replace(
+                instance_budget=max(grown.instance_budget,
+                                    tr.render_cfg.instance_budget),
+                max_tiles_per_gaussian=max(
+                    grown.max_tiles_per_gaussian,
+                    tr.render_cfg.max_tiles_per_gaussian))
+            if new_cfg != tr.render_cfg:
+                tr.set_render_cfg(new_cfg)
+                resize_log.append({
+                    "epoch": stats["epoch"],
+                    "overflow": stats["overflow"],
+                    "instance_budget": new_cfg.instance_budget,
+                    "R": new_cfg.max_tiles_per_gaussian})
+                tr.logger.log(f"[autosize] resized after overflow: "
+                              f"{resize_log[-1]}")
 
     cfg_hash = hashlib.sha256(json.dumps(
         dict(res=res, tex=tex, capacity=capacity, frames=frames,
@@ -227,6 +298,16 @@ def run_validation(
                  "laplacian": laplacian_weight},
         "cadence": {"densify": densify, "prune": prune, "reset": reset,
                     "increase_num": increase_num},
+        "render": {
+            "autosize": bool(autosize),
+            "instance_budget": tr.render_cfg.instance_budget,
+            "budget_over_capacity": round(
+                tr.render_cfg.instance_budget / capacity, 2),
+            "R": tr.render_cfg.max_tiles_per_gaussian,
+            "max_per_tile": max_per_tile,
+            "resizes": resize_log,
+        },
+        "total_overflow": int(sum(e.get("overflow") or 0 for e in curve)),
         "curve": curve, "final_psnr": curve[-1]["psnr"],
         "best_psnr": max(e["psnr"] for e in curve),
         "steady_its": max(e["its"] for e in curve),
@@ -234,18 +315,34 @@ def run_validation(
 
     if bake_epochs > 0:
         artifact["bake"] = _baked_fidelity(
-            model2, tr.ts.params, tr.ts.state, loss_fn, ds, render_cfg,
+            model2, tr.ts.params, tr.ts.state, loss_fn, ds, tr.render_cfg,
             bake_epochs=bake_epochs, bake_poses=bake_poses,
         )
 
     if write_artifact:
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), f"VALIDATION_r{round_id}.json")
+        # section-merged write: named sections (grow_to_cap, ...) nest under
+        # their key; the main protocol merges at top level — one file per
+        # round carries every fidelity artifact
+        data = {}
+        if os.path.exists(out):
+            try:
+                with open(out) as f:
+                    data = json.load(f)
+            except Exception:
+                data = {}
+        if section:
+            data[section] = artifact
+        else:
+            data.update(artifact)
         with open(out, "w") as f:
-            json.dump(artifact, f, indent=1)
-        print(f"[artifact] {out}: best PSNR {artifact['best_psnr']:.2f}, "
+            json.dump(data, f, indent=1)
+        print(f"[artifact] {out}{'::' + section if section else ''}: "
+              f"best PSNR {artifact['best_psnr']:.2f}, "
               f"final {artifact['final_psnr']:.2f}, "
-              f"steady {artifact['steady_its']:.1f} it/s")
+              f"steady {artifact['steady_its']:.1f} it/s, "
+              f"total_overflow {artifact['total_overflow']}")
     return artifact
 
 
@@ -272,18 +369,48 @@ def _baked_fidelity(model, params, state, loss_fn, ds, render_cfg,
     )
     baker = UVBaker(dec_model, net, net_vars, loss_fn, ds,
                     workspace=None, render_cfg=render_cfg)
-    baker.bake(bake_epochs)
-    _, act = baker.textures()
 
     # textures/net_vars enter as jit ARGUMENTS, not closure constants:
     # closed-over weights make XLA constant-fold the whole UNet forward at
     # compile time (minutes on the 1-core host; observed in the r4 probe)
     baked_render_v = jax.jit(lambda a_, e, p, cam: uvd.render_from_texture_dict(
         baker.model, a_, e, p, cam, render_cfg=render_cfg)["rgb_image"])
-    baked_render = lambda e, p, cam: baked_render_v(act, e, p, cam)
     splat_render = jax.jit(lambda e, p, cam: fateavatar_forward(
         model, params, state, e, p, cam,
         render_cfg=render_cfg)["rgb_image"])
+
+    def eval_baked(act, n_poses):
+        from fateavatar_tpu.train.losses import psnr as _psnr
+        vals = []
+        for i in np.linspace(0, len(ds) - 1, n_poses).astype(int):
+            s = ds.sample(int(i))
+            cam_pose = np.asarray(s["cam_pose"], np.float32)
+            cam = make_camera_np(cam_pose[:3, :3].T, cam_pose[:3, 3],
+                                 s["fovx"], s["fovy"],
+                                 model.cfg.img_height, model.cfg.img_height)
+            e = jnp.asarray(s["expression"])
+            p = jnp.asarray(s["flame_pose"])
+            vals.append(float(_psnr(baked_render_v(act, e, p, cam),
+                                    splat_render(e, p, cam))))
+        return float(np.mean(vals))
+
+    # bake in chunks, recording the CONVERGENCE CURVE (VERDICT r5 item 2:
+    # the reference's "5 epochs to convergence" is ~15k steps on its ~3k-
+    # frame sets, train/baker.py:120-191 — on a small synthetic set the
+    # equivalent budget is step-matched via bake_epochs; the curve shows
+    # where THIS bake saturates rather than asserting an equivalence)
+    n_chunks = min(6, bake_epochs)
+    bounds = np.unique(np.linspace(0, bake_epochs, n_chunks + 1).astype(int))
+    bake_curve = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        baker.bake(int(b - a))
+        _, act_i = baker.textures()
+        bake_curve.append({
+            "epochs": int(b), "steps": baker.global_step,
+            "baked_psnr": round(eval_baked(act_i, 3), 3)})
+        print(f"[bake curve] {bake_curve[-1]}")
+    _, act = baker.textures()
+    baked_render = lambda e, p, cam: baked_render_v(act, e, p, cam)
     # diagnostic split: net-forward render (the training path) vs the
     # texture-export render (the product path). If net_psnr >> baked_psnr
     # the exporter is losing quality; if they track, the gap is bake
@@ -313,6 +440,7 @@ def _baked_fidelity(model, params, state, loss_fn, ds, render_cfg,
         "baked_psnr_min": round(float(np.min(psnrs)), 3),
         "baked_ssim": round(float(np.mean(ssims)), 4),
         "net_psnr": round(float(np.mean(net_psnrs)), 3),
+        "convergence": bake_curve,
         "wall_s": round(time.perf_counter() - t0, 1),
     }
     print(f"[bake] {out}")
@@ -323,6 +451,9 @@ def main(epochs: int = 3, frames: int = 100):
     maint_on = int(os.environ.get("MAINT", "1"))
     artifact = run_validation(
         epochs=epochs, frames=frames,
+        capacity=int(os.environ.get("CAP", "70000")),
+        tex=int(os.environ.get("TEX", "256")),
+        increase_num=int(os.environ.get("INCREASE", "1000")),
         densify=int(os.environ.get("DENSIFY", "150")) if maint_on else 10**9,
         prune=int(os.environ.get("PRUNE", "200")) if maint_on else 10**9,
         reset=(int(os.environ.get("RESET", str(10**9)))
@@ -336,6 +467,7 @@ def main(epochs: int = 3, frames: int = 100):
         render_impl=os.environ.get("RENDER_IMPL", ""),
         max_per_tile=int(os.environ.get("MAX_PER_TILE", "1024")),
         budget_x=int(os.environ.get("BUDGET_X", "2")),
+        section=os.environ.get("VALIDATION_SECTION", ""),
     )
 
     # Floor on the BEST epoch: the default protocol densifies every 150

@@ -46,6 +46,33 @@ def test_validation_protocol_psnr_trend():
     assert "scale_p99" in curve[-1] and curve[-1]["scale_p99"] < 1.0
 
 
+def test_bake_gate_smoke():
+    """The baked-fidelity gate as a pytest (VERDICT r5 item 8): UVBaker ->
+    render_from_texture_dict -> PSNR floor at tiny shape, band-limited GT
+    (reference behavior train/baker.py:120-191, model/uv_decoder.py:564-690).
+
+    The floor is scaled to the shape: a 32^2 texture over ~1k alive splats
+    after a 60-step bake reproduces the splat render only coarsely, but a
+    BROKEN baker (exporter mismatch, texture orientation flip, dead
+    attribute wiring) lands far below reconstruction-level PSNR — the
+    r2-r4 history shows broken-vs-working separates by >6 dB."""
+    art = run_validation(
+        epochs=2, frames=4, res=128, tex=32, capacity=2048,
+        densify=10**9, prune=10**9, reset=10**9,
+        bake_epochs=15, bake_poses=3,
+        write_artifact=False,
+    )
+    bake = art["bake"]
+    assert bake["convergence"], bake
+    # the curve must actually improve over the bake
+    first, last = bake["convergence"][0], bake["convergence"][-1]
+    assert last["baked_psnr"] >= first["baked_psnr"] - 0.5, bake
+    assert bake["baked_psnr"] > 15.0, bake
+    # exporter parity: the texture-export render must track the
+    # net-forward render (a large gap means the exporter loses quality)
+    assert bake["baked_psnr"] > bake["net_psnr"] - 3.0, bake
+
+
 @pytest.mark.skipif(
     os.environ.get("FATEAVATAR_FULL_VALIDATION") != "1",
     reason="512^2 production shape needs the chip or a multi-core host "
