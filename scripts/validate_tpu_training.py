@@ -195,11 +195,20 @@ def run_validation(
                 camera=make_camera_np(cam_pose[:3, :3].T, cam_pose[:3, 3],
                                       s["fovx"], s["fovy"], res, res),
                 rgb=jnp.zeros((1, 1, 3)), bg_color=jnp.ones(3)))
+        # r_headroom=4 (not the module-default 2): the probe sees the init
+        # and GT states, but optimization TRANSIENTS push single splats
+        # wider — measured on the chip (r5 run 1): probe max 4 tiles/
+        # gaussian, training peak 9 by epoch 1 (scale_max 0.0005 -> 0.001
+        # while p99 stays at init). R is the expensive knob (candidate
+        # expansion scales with N*R; R=32 halved throughput 103 -> 45
+        # it/s), so 4x pow2 headroom = R 16 covers the transient without
+        # the pow2-bump-after-overflow penalty. The instance budget is
+        # cheap (lax.sort is ~0.4 ms at 280k), so 2x total headroom.
         sized = []
         for p_, s_ in ((gt_params, gt_state), (params, state)):
             sized.append(autosize_render_config(
                 model2, p_, s_, probes, render_cfg,
-                safety=2.5, r_headroom=2, log_fn=print))
+                safety=2.0, r_headroom=4, log_fn=print))
         render_cfg = render_cfg.replace(
             instance_budget=max(c.instance_budget for c in sized),
             max_tiles_per_gaussian=max(c.max_tiles_per_gaussian
@@ -260,18 +269,54 @@ def run_validation(
         # every resize so a nonzero-overflow epoch is visible evidence, not
         # a silent approximation
         if autosize and stats.get("overflow", 0):
-            from fateavatar_tpu.render.autosize import autosize_render_config
+            # TIGHT re-size from a fresh measurement of the current state
+            # (size_caps, not the pow2-bump initial sizer: the r5 chip run
+            # showed the bump picks R=32/7.8N after a 15-instance drop and
+            # halves throughput; the measured peak needs only ~1.4x slack)
+            from fateavatar_tpu.models.fateavatar import build_gaussians
+            from fateavatar_tpu.render.autosize import (
+                occupancy_stats, size_caps,
+            )
+            from fateavatar_tpu.render import binning as _binning
+            from fateavatar_tpu.render.preprocess import preprocess as _prep
 
-            grown = autosize_render_config(
-                model2, tr.ts.params, tr.ts.state, probes,
-                tr.render_cfg, safety=2.5 * 1.5 ** (len(resize_log) + 1),
-                r_headroom=2, log_fn=print)
+            grid = _binning.tile_grid(res, res)
+
+            @jax.jit
+            def _occ(p_, s_, e_, fp_, cam):
+                g, _, _ = build_gaussians(model2, p_, s_, e_, fp_)
+                pr = _prep(cam, g.xyz, g.get_scaling, g.get_rotation,
+                           g.get_opacity, g.get_features, g.sh_degree,
+                           alive=g.alive, stacked=False)
+                return occupancy_stats((pr.soa[0], pr.soa[1]), pr.depth,
+                                       pr.radius, grid)
+
+            tot = mx = 0
+            for f in probes:
+                t_, m_, _ = _occ(tr.ts.params, tr.ts.state, f.expression,
+                                 f.flame_pose, f.camera)
+                tot = max(tot, int(jax.device_get(t_)))
+                mx = max(mx, int(jax.device_get(m_)))
+            bump = 1.2 ** len(resize_log)   # escalate on repeat overflow
+            grown = size_caps(tot, mx, capacity, grid[0] * grid[1],
+                              tr.render_cfg, safety=1.4 * bump,
+                              r_slack=1.4 * bump)
             new_cfg = tr.render_cfg.replace(
                 instance_budget=max(grown.instance_budget,
                                     tr.render_cfg.instance_budget),
                 max_tiles_per_gaussian=max(
                     grown.max_tiles_per_gaussian,
                     tr.render_cfg.max_tiles_per_gaussian))
+            if new_cfg == tr.render_cfg:
+                # the overflow came from a mid-epoch transient the post-
+                # epoch probe no longer sees — grow blind (R step + 25%
+                # budget) rather than repeat the same caps
+                new_cfg = tr.render_cfg.replace(
+                    max_tiles_per_gaussian=(
+                        tr.render_cfg.max_tiles_per_gaussian + 4),
+                    instance_budget=int(np.ceil(
+                        tr.render_cfg.instance_budget * 1.25 / 4096))
+                    * 4096)
             if new_cfg != tr.render_cfg:
                 tr.set_render_cfg(new_cfg)
                 resize_log.append({
