@@ -118,6 +118,13 @@ def run_validation(
         max_per_tile=max_per_tile, chunk=64,
         instance_budget=budget_x * capacity,
         max_tiles_per_gaussian=8,
+        # BINNING=twotier: the bench's tail-list binning — every gaussian
+        # expands <=4 tiles, only the tail_k largest-footprint expand to
+        # the R cap. Optimization transients (single splats at 9+ tiles,
+        # the r5 epoch-1 overflow source) are by construction among the
+        # per-frame largest, so they land in the tail and never clip,
+        # while expansion cost stays ~N*4 instead of N*R.
+        binning=os.environ.get("BINNING", "onesort"),
     )
 
     # ground-truth avatar with randomized appearance. Default is
@@ -213,6 +220,7 @@ def run_validation(
             instance_budget=max(c.instance_budget for c in sized),
             max_tiles_per_gaussian=max(c.max_tiles_per_gaussian
                                        for c in sized),
+            tail_k=max(c.tail_k for c in sized),
         )
         print(f"[autosize] sized caps: instance_budget="
               f"{render_cfg.instance_budget} "
@@ -291,22 +299,25 @@ def run_validation(
                 return occupancy_stats((pr.soa[0], pr.soa[1]), pr.depth,
                                        pr.radius, grid)
 
-            tot = mx = 0
+            tot = mx = big = 0
             for f in probes:
-                t_, m_, _ = _occ(tr.ts.params, tr.ts.state, f.expression,
-                                 f.flame_pose, f.camera)
+                t_, m_, b_ = _occ(tr.ts.params, tr.ts.state, f.expression,
+                                  f.flame_pose, f.camera)
                 tot = max(tot, int(jax.device_get(t_)))
                 mx = max(mx, int(jax.device_get(m_)))
+                big = max(big, int(jax.device_get(b_)))
             bump = 1.2 ** len(resize_log)   # escalate on repeat overflow
             grown = size_caps(tot, mx, capacity, grid[0] * grid[1],
                               tr.render_cfg, safety=1.4 * bump,
-                              r_slack=1.4 * bump)
+                              r_slack=1.4 * bump, big_count=big,
+                              big_slack=2.0 * bump)
             new_cfg = tr.render_cfg.replace(
                 instance_budget=max(grown.instance_budget,
                                     tr.render_cfg.instance_budget),
                 max_tiles_per_gaussian=max(
                     grown.max_tiles_per_gaussian,
-                    tr.render_cfg.max_tiles_per_gaussian))
+                    tr.render_cfg.max_tiles_per_gaussian),
+                tail_k=max(grown.tail_k, tr.render_cfg.tail_k))
             if new_cfg == tr.render_cfg:
                 # the overflow came from a mid-epoch transient the post-
                 # epoch probe no longer sees — grow blind (R step + 25%
@@ -350,6 +361,8 @@ def run_validation(
                 tr.render_cfg.instance_budget / capacity, 2),
             "R": tr.render_cfg.max_tiles_per_gaussian,
             "max_per_tile": max_per_tile,
+            "binning": tr.render_cfg.binning,
+            "tail_k": tr.render_cfg.tail_k,
             "resizes": resize_log,
         },
         "total_overflow": int(sum(e.get("overflow") or 0 for e in curve)),
