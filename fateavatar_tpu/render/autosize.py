@@ -143,26 +143,38 @@ def autosize_from_trainstate(model, ts, frame, base_cfg, **kw):
                                   base_cfg, **kw)
 
 
-def make_occupancy_probe(model, camera):
-    """Jitted ``(params, state, expression, flame_pose) ->
-    (total, max_t, n_big)`` occupancy probe for scouting a training run's
-    true capacity needs (preprocess only — ~1 ms per call; no sort, no
-    blend)."""
+def make_occupancy_probe(model, camera=None):
+    """Jitted occupancy probe for scouting a training run's true capacity
+    needs (preprocess only — ~1 ms per call; no sort, no blend).
+
+    With ``camera`` given (the bench scout): ``(params, state, expression,
+    flame_pose) -> (total, max_t, n_big)`` with the camera closed over.
+    Without: the camera is a traced argument —
+    ``(params, state, expression, flame_pose, camera) -> ...`` — so ONE
+    compiled probe serves every view (the validation backstop re-probes
+    under multiple cameras across many epochs)."""
     from fateavatar_tpu.models.fateavatar import build_gaussians
 
-    grid = binning.tile_grid(camera.width, camera.height)
-
-    @jax.jit
-    def _probe(params, state, expression, flame_pose):
+    def _stats(params, state, expression, flame_pose, cam):
         g, _, _ = build_gaussians(model, params, state, expression, flame_pose)
         prep = preprocess(
-            camera, g.xyz, g.get_scaling, g.get_rotation, g.get_opacity,
+            cam, g.xyz, g.get_scaling, g.get_rotation, g.get_opacity,
             g.get_features, g.sh_degree, alive=g.alive, stacked=False,
         )
+        grid = binning.tile_grid(cam.width, cam.height)
         return occupancy_stats(
             (prep.soa[0], prep.soa[1]), prep.depth, prep.radius, grid)
 
-    return _probe
+    if camera is not None:
+        @jax.jit
+        def _probe(params, state, expression, flame_pose):
+            return _stats(params, state, expression, flame_pose, camera)
+        return _probe
+
+    @jax.jit
+    def _probe_cam(params, state, expression, flame_pose, camera):
+        return _stats(params, state, expression, flame_pose, camera)
+    return _probe_cam
 
 
 def size_caps(total: int, max_t: int, n: int, num_tiles: int, base_cfg,

@@ -141,6 +141,18 @@ class UVBaker:
         return step
 
     def bake(self, max_epochs: int = 5, pseudo_dataset: Optional[FaceDataset] = None):
+        # the __init__ budget gate saw only the real dataset; pseudo frames
+        # are cached too (keyed ('pseudo', idx)), so re-check the combined
+        # footprint and drop caching entirely if it would blow the budget
+        if pseudo_dataset is not None and self._frame_cache is not None:
+            h = self.model.avatar.cfg.img_height
+            w = self.model.avatar.cfg.img_width
+            est = (len(self.dataset) + len(pseudo_dataset)) * h * w * 12
+            if est > (2 << 30):
+                self.logger.log(
+                    f"[bake] real+pseudo frames ~{est >> 20} MiB exceed the "
+                    "2 GiB device-cache budget; streaming uploads per step")
+                self._frame_cache = None
         for _ in range(max_epochs):
             self.epoch += 1
             self.bake_epoch(pseudo_dataset)

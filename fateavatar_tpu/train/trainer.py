@@ -445,6 +445,14 @@ class Trainer:
         self._visualize = lambda p, st, expr, pose, camera: (
             fateavatar_visualization(self.model, p, st, expr, pose, camera,
                                      render_cfg=render_cfg))
+        # the tracking-refinement steps close over _forward/render_cfg via
+        # their jitted loss — rebuild them too or per-step tracking keeps
+        # dispatching the executable compiled against the old caps
+        if self.tracking_enabled:
+            self._tracking_step = self._build_tracking_step()
+            if getattr(self, "_batched_tracking_step", None) is not None:
+                self._batched_tracking_step = self._build_tracking_step(
+                    batched=True)
         scan = getattr(self, "_scan_epoch", None)
         if scan is not None:
             if scan[2]:   # tracking scan-epoch: rebuild via its own builder

@@ -159,9 +159,18 @@ def run_validation(
 
     ds = SyntheticDataset(num_frames=frames, img_res=(res, res), n_shape=8,
                           n_exp=6, seed=1)
+    # GT targets render at ROBUST caps (auto 6N budget, R=16), independent
+    # of the training caps under test: with a small BUDGET_X the default
+    # caps could silently clip the GT itself and the run would train
+    # toward corrupted targets while reporting overflow 0 (the training-
+    # side overflow counter never sees this jit). Same guard as bench.py's
+    # target render.
     gt_render = jax.jit(lambda e, p, cam: fateavatar_forward(
         model, gt_params, gt_state, e, p, cam,
-        bg_color=jnp.ones(3), render_cfg=render_cfg)["rgb_image"])
+        bg_color=jnp.ones(3),
+        render_cfg=render_cfg.replace(instance_budget=0,
+                                      max_tiles_per_gaussian=16,
+                                      bwd_slots=False))["rgb_image"])
     t0 = time.perf_counter()
     for i in range(frames):
         s = ds.sample(i)
@@ -188,6 +197,7 @@ def run_validation(
     # the r4 curve). The CUDA reference never drops an instance (exact
     # per-frame allocation, rasterizer_impl.cu:277-285); target overflow=0.
     resize_log = []
+    occ_probe = None
     if autosize:
         from fateavatar_tpu.render.autosize import autosize_render_config
         from fateavatar_tpu.train.step import Frame
@@ -281,28 +291,19 @@ def run_validation(
             # (size_caps, not the pow2-bump initial sizer: the r5 chip run
             # showed the bump picks R=32/7.8N after a 15-instance drop and
             # halves throughput; the measured peak needs only ~1.4x slack)
-            from fateavatar_tpu.models.fateavatar import build_gaussians
-            from fateavatar_tpu.render.autosize import (
-                occupancy_stats, size_caps,
-            )
             from fateavatar_tpu.render import binning as _binning
-            from fateavatar_tpu.render.preprocess import preprocess as _prep
+            from fateavatar_tpu.render.autosize import (
+                make_occupancy_probe, size_caps,
+            )
 
             grid = _binning.tile_grid(res, res)
-
-            @jax.jit
-            def _occ(p_, s_, e_, fp_, cam):
-                g, _, _ = build_gaussians(model2, p_, s_, e_, fp_)
-                pr = _prep(cam, g.xyz, g.get_scaling, g.get_rotation,
-                           g.get_opacity, g.get_features, g.sh_degree,
-                           alive=g.alive, stacked=False)
-                return occupancy_stats((pr.soa[0], pr.soa[1]), pr.depth,
-                                       pr.radius, grid)
+            if occ_probe is None:       # one compiled probe for all epochs
+                occ_probe = make_occupancy_probe(model2)
 
             tot = mx = big = 0
             for f in probes:
-                t_, m_, b_ = _occ(tr.ts.params, tr.ts.state, f.expression,
-                                  f.flame_pose, f.camera)
+                t_, m_, b_ = occ_probe(tr.ts.params, tr.ts.state,
+                                       f.expression, f.flame_pose, f.camera)
                 tot = max(tot, int(jax.device_get(t_)))
                 mx = max(mx, int(jax.device_get(m_)))
                 big = max(big, int(jax.device_get(b_)))
@@ -320,14 +321,19 @@ def run_validation(
                 tail_k=max(grown.tail_k, tr.render_cfg.tail_k))
             if new_cfg == tr.render_cfg:
                 # the overflow came from a mid-epoch transient the post-
-                # epoch probe no longer sees — grow blind (R step + 25%
-                # budget) rather than repeat the same caps
+                # epoch probe no longer sees — grow blind rather than
+                # repeat the same caps. Every static cap that can drop
+                # instances grows: R, the instance budget, and (twotier)
+                # the big-gaussian tail slots — a tail-clip overflow is
+                # invisible to R/budget growth.
                 new_cfg = tr.render_cfg.replace(
                     max_tiles_per_gaussian=(
                         tr.render_cfg.max_tiles_per_gaussian + 4),
                     instance_budget=int(np.ceil(
                         tr.render_cfg.instance_budget * 1.25 / 4096))
-                    * 4096)
+                    * 4096,
+                    tail_k=(min(tr.render_cfg.tail_k * 2, capacity)
+                            if tr.render_cfg.tail_k else 0))
             if new_cfg != tr.render_cfg:
                 tr.set_render_cfg(new_cfg)
                 resize_log.append({
@@ -445,7 +451,7 @@ def _baked_fidelity(model, params, state, loss_fn, ds, render_cfg,
             cam_pose = np.asarray(s["cam_pose"], np.float32)
             cam = make_camera_np(cam_pose[:3, :3].T, cam_pose[:3, 3],
                                  s["fovx"], s["fovy"],
-                                 model.cfg.img_height, model.cfg.img_height)
+                                 model.cfg.img_width, model.cfg.img_height)
             e = jnp.asarray(s["expression"])
             p = jnp.asarray(s["flame_pose"])
             vals.append(float(_psnr(baked_render_v(act, e, p, cam),
